@@ -1,0 +1,95 @@
+"""Attention ops: packed-varlen prefill and paged quantized decode.
+
+XLA fallback implementations; Pallas TPU kernels (kernels/flash_attention.py,
+kernels/paged_attention.py) register over these via ops.register_pallas.
+
+Reference counterparts: flash_attn_varlen_func for prefill
+(modeling/models/llama_w4a8_unpad.py:232-242) and the TRT-LLM-derived MMHA
+decode kernel (decoderMaskedMultiheadAttentionTemplate.hpp) — here re-designed
+around array-indexed KV pages instead of device pointers.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from qserve_tpu.kernels import kv_cache as kvc
+from qserve_tpu.kernels.ops import _impl
+
+NEG_INF = -1e30
+
+
+def prefill_attention(
+    q: jax.Array,  # [T, Hq, D] (RoPE applied)
+    k: jax.Array,  # [T, Hkv, D]
+    v: jax.Array,  # [T, Hkv, D]
+    segment_ids: jax.Array,  # [T] int32, 0 = padding, >0 = sequence id
+    sm_scale: Optional[float] = None,
+) -> jax.Array:
+    """Causal self-attention over a packed batch of variable-length prompts.
+
+    Padding-free packing: sequences are contiguous in T, identified by
+    segment id; the mask is (same segment) & (causal).
+    """
+    fn = _impl("prefill_attention")
+    if fn is not None:
+        return fn(q, k, v, segment_ids, sm_scale)
+
+    T, Hq, D = q.shape
+    Hkv = k.shape[1]
+    rep = Hq // Hkv
+    sm = sm_scale if sm_scale is not None else 1.0 / (D**0.5)
+
+    kq = jnp.repeat(k, rep, axis=1)  # [T, Hq, D]
+    vq = jnp.repeat(v, rep, axis=1)
+
+    scores = jnp.einsum(
+        "thd,shd->hts", q.astype(jnp.float32), kq.astype(jnp.float32)
+    ) * sm
+    same = segment_ids[:, None] == segment_ids[None, :]
+    valid = (segment_ids > 0)[:, None] & (segment_ids > 0)[None, :]
+    causal = (
+        jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
+        <= jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
+    )
+    mask = same & causal & valid
+    scores = jnp.where(mask[None], scores, NEG_INF)
+    p = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("hts,shd->thd", p, vq.astype(jnp.float32))
+    return out.astype(q.dtype)
+
+
+def paged_decode_attention(
+    q: jax.Array,  # [B, Hq, D] (RoPE applied, current step)
+    layer: kvc.KVCache,  # one layer's pages (current step's KV already appended)
+    block_tables: jax.Array,  # [B, maxP] int32
+    context_lens: jax.Array,  # [B] int32 (including current token)
+    kv_bits: int,
+    sm_scale: Optional[float] = None,
+) -> jax.Array:
+    """Single-token decode attention over the quantized paged KV history."""
+    fn = _impl("paged_decode_attention")
+    if fn is not None:
+        return fn(q, layer, block_tables, context_lens, kv_bits, sm_scale)
+
+    B, Hq, D = q.shape
+    ps = layer.page_size
+    maxP = block_tables.shape[1]
+    sm = sm_scale if sm_scale is not None else 1.0 / (D**0.5)
+
+    k, v = kvc.gather_dequant_layer(layer, block_tables, kv_bits)  # [B, S, Hkv, D]
+    Hkv = k.shape[2]
+    rep = Hq // Hkv
+    S = maxP * ps
+
+    qf = q.astype(jnp.float32).reshape(B, Hkv, rep, D)
+    scores = jnp.einsum("bhrd,bshd->bhrs", qf, k) * sm
+    pos = jax.lax.broadcasted_iota(jnp.int32, (B, S), 1)
+    mask = pos < context_lens[:, None]
+    scores = jnp.where(mask[:, None, None, :], scores, NEG_INF)
+    p = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhrs,bshd->bhrd", p, v)
+    return out.reshape(B, Hq, D).astype(q.dtype)

@@ -1,0 +1,185 @@
+"""Public compute-op API with XLA fallback implementations.
+
+Each op has the signature the model layers call. The Pallas TPU kernels in
+this package register themselves here and are used when (a) running on TPU
+and (b) not explicitly disabled; otherwise the pure-XLA fallbacks run (CPU
+tests, interpret mode, and as the parity reference).
+
+Op inventory mirrors the reference's native extensions (SURVEY.md §2.4):
+  N1 w4a8_gemm_per_chn    <- qgemm_w4a8_per_chn
+  N2 w4a8_gemm_per_group  <- qgemm_w4a8_per_group
+  N3 w8a8_gemm            <- qgemm_w8a8
+  N4 prefill/decode attention + KV append  <- fused_attention
+  N5 quant_per_token      <- fused_kernels invoke_quant[_fuse_sum]
+  N6 rmsnorm_quant        <- layernorm_ops rms_norm_general[_fuse_sum]
+  N7 silu_mul_quant       <- activation_ops silu_and_mul + quant
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from qserve_tpu.quant import packing, qoq
+
+_PALLAS_REGISTRY = {}
+
+
+def register_pallas(name: str):
+    def deco(fn):
+        _PALLAS_REGISTRY[name] = fn
+        return fn
+
+    return deco
+
+
+@functools.cache
+def use_pallas() -> bool:
+    if os.environ.get("QSERVE_TPU_FORCE_XLA", "0") == "1":
+        return False
+    if os.environ.get("QSERVE_TPU_INTERPRET", "0") == "1":
+        return True  # pallas kernels run in interpreter mode
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def interpret_mode() -> bool:
+    return os.environ.get("QSERVE_TPU_INTERPRET", "0") == "1"
+
+
+def _impl(name: str):
+    if use_pallas() and name in _PALLAS_REGISTRY:
+        return _PALLAS_REGISTRY[name]
+    return None
+
+
+# ---------------------------------------------------------------------------
+# N5: per-token dynamic activation quantization
+# ---------------------------------------------------------------------------
+
+
+def quant_per_token(
+    x: jax.Array, with_sum: bool = False
+) -> Tuple[jax.Array, jax.Array, Optional[jax.Array]]:
+    """fp -> (int8 [T,K], scale f32 [T,1], act-sum f32 [T,1] | None)."""
+    fn = _impl("quant_per_token")
+    if fn is not None:
+        return fn(x, with_sum)
+    return qoq.quantize_activation_per_token(x, with_sum)
+
+
+# ---------------------------------------------------------------------------
+# N6: fused RMSNorm -> per-token INT8 quant
+# ---------------------------------------------------------------------------
+
+
+def rmsnorm(x: jax.Array, weight: jax.Array, eps: float = 1e-6) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    y = xf * jax.lax.rsqrt(var + eps)
+    return (y * weight.astype(jnp.float32)).astype(x.dtype)
+
+
+def rmsnorm_quant(
+    x: jax.Array, weight: jax.Array, eps: float = 1e-6, with_sum: bool = False
+) -> Tuple[jax.Array, jax.Array, Optional[jax.Array]]:
+    """RMSNorm fused with per-token INT8 quantization (+ optional act-sum)."""
+    fn = _impl("rmsnorm_quant")
+    if fn is not None:
+        return fn(x, weight, eps, with_sum)
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    y = xf * jax.lax.rsqrt(var + eps) * weight.astype(jnp.float32)
+    return qoq.quantize_activation_per_token(y, with_sum)
+
+
+# ---------------------------------------------------------------------------
+# N7: fused SwiGLU -> per-token INT8 quant
+# ---------------------------------------------------------------------------
+
+
+def silu_mul_quant(
+    gate_up: jax.Array, with_sum: bool = False
+) -> Tuple[jax.Array, jax.Array, Optional[jax.Array]]:
+    """[T, 2*I] (gate ++ up) -> silu(gate)*up, quantized per token."""
+    fn = _impl("silu_mul_quant")
+    if fn is not None:
+        return fn(gate_up, with_sum)
+    g, u = jnp.split(gate_up.astype(jnp.float32), 2, axis=-1)
+    y = jax.nn.silu(g) * u
+    return qoq.quantize_activation_per_token(y, with_sum)
+
+
+def silu_mul(gate_up: jax.Array) -> jax.Array:
+    g, u = jnp.split(gate_up.astype(jnp.float32), 2, axis=-1)
+    return (jax.nn.silu(g) * u).astype(gate_up.dtype)
+
+
+# ---------------------------------------------------------------------------
+# N1/N2/N3: quantized GEMMs
+# ---------------------------------------------------------------------------
+
+
+def w4a8_gemm_per_chn(
+    a_i8: jax.Array,
+    a_scale: jax.Array,
+    a_sum: jax.Array,
+    qweight_packed: jax.Array,
+    s1_scale: jax.Array,
+    s1_szero: jax.Array,
+    out_dtype=jnp.bfloat16,
+) -> jax.Array:
+    fn = _impl("w4a8_gemm_per_chn")
+    if fn is not None:
+        return fn(a_i8, a_scale, a_sum, qweight_packed, s1_scale, s1_szero, out_dtype)
+    w = packing.unpack_w4(qweight_packed)
+    p = qoq.PerChannelW4(w, s1_scale, s1_szero)
+    return qoq.w4a8_gemm_per_channel_ref(a_i8, a_scale, a_sum, p, out_dtype)
+
+
+def w4a8_gemm_per_group(
+    a_i8: jax.Array,
+    a_scale: jax.Array,
+    qweight_packed: jax.Array,
+    s2_scale: jax.Array,
+    s2_zero: jax.Array,
+    s1_scale: jax.Array,
+    group_size: int = 128,
+    out_dtype=jnp.bfloat16,
+) -> jax.Array:
+    fn = _impl("w4a8_gemm_per_group")
+    if fn is not None:
+        return fn(
+            a_i8, a_scale, qweight_packed, s2_scale, s2_zero, s1_scale,
+            group_size, out_dtype,
+        )
+    w = packing.unpack_w4(qweight_packed)
+    p = qoq.PerGroupW4(w, s2_scale, s2_zero, s1_scale)
+    return qoq.w4a8_gemm_per_group_ref(a_i8, a_scale, p, group_size, out_dtype)
+
+
+def w8a8_gemm(
+    a_i8: jax.Array,
+    a_scale: jax.Array,
+    qweight: jax.Array,
+    w_scale: jax.Array,
+    out_dtype=jnp.bfloat16,
+) -> jax.Array:
+    fn = _impl("w8a8_gemm")
+    if fn is not None:
+        return fn(a_i8, a_scale, qweight, w_scale, out_dtype)
+    return qoq.w8a8_gemm_ref(a_i8, a_scale, qoq.W8(qweight, w_scale), out_dtype)
+
+
+def matmul(x: jax.Array, w: jax.Array, out_dtype=None) -> jax.Array:
+    """Plain bf16 matmul on the MXU (w16a16 path)."""
+    out_dtype = out_dtype or x.dtype
+    return jax.lax.dot_general(
+        x, w, (((x.ndim - 1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(out_dtype)

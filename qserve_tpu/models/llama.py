@@ -1,0 +1,360 @@
+"""Functional Llama-family model over quantized layers and a paged KV cache.
+
+TPU-first re-design of the reference model stack
+(modeling/models/llama_w4a8_unpad.py, llama_w8a8_unpad.py,
+llama_w16a16_unpad.py — all three precisions collapse into one
+implementation here, parameterized by the linear-layer pytree type):
+
+  * packed varlen prefill (segment-id masked flash attention) writes
+    quantized KV pages and computes logits only on each prompt's last token
+    (reference: llama_w4a8_unpad.py:471-477);
+  * single-token decode appends quantized KV then attends over the paged
+    history (reference MMHA semantics, decode path :265-281);
+  * layers iterate under lax.scan with stacked [L, ...] params (one compile
+    of the layer body) or an unrolled Python loop (args.scan_layers=False);
+  * RMSNorm→INT8, SwiGLU→INT8 and attention-out→INT8 handoffs keep the
+    activation int8 contract of the reference hot loop (SURVEY.md §3.3).
+
+Weights live as [K, N]; qkv and gate_up are fused projections like the
+reference's QKVParallelLinear/MergedColumnParallelLinear equivalents.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from qserve_tpu.config import QuantSpec
+from qserve_tpu.kernels import attention, kv_cache as kvc, ops
+from qserve_tpu.layers import linear as lin
+from qserve_tpu.layers import rope
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaArgs:
+    """Static model hyperparameters (hashable; safe as a jit static arg)."""
+
+    vocab_size: int
+    hidden_size: int
+    intermediate_size: int
+    num_layers: int
+    num_heads: int
+    num_kv_heads: int
+    head_dim: int
+    rope_theta: float = 10000.0
+    rms_eps: float = 1e-6
+    quant: QuantSpec = QuantSpec(4, 8, 4, True, -1)
+    scan_layers: bool = True
+    logit_dtype: Any = jnp.float32
+
+    @property
+    def q_size(self) -> int:
+        return self.num_heads * self.head_dim
+
+    @property
+    def kv_size(self) -> int:
+        return self.num_kv_heads * self.head_dim
+
+    @property
+    def qkv_out(self) -> int:
+        return self.q_size + 2 * self.kv_size
+
+    @staticmethod
+    def from_hf_config(cfg, quant: QuantSpec, scan_layers: bool = True) -> "LlamaArgs":
+        head_dim = getattr(cfg, "head_dim", None) or (
+            cfg.hidden_size // cfg.num_attention_heads
+        )
+        return LlamaArgs(
+            vocab_size=cfg.vocab_size,
+            hidden_size=cfg.hidden_size,
+            intermediate_size=cfg.intermediate_size,
+            num_layers=cfg.num_hidden_layers,
+            num_heads=cfg.num_attention_heads,
+            num_kv_heads=getattr(cfg, "num_key_value_heads", cfg.num_attention_heads),
+            head_dim=head_dim,
+            rope_theta=getattr(cfg, "rope_theta", 10000.0),
+            rms_eps=getattr(cfg, "rms_norm_eps", 1e-6),
+            quant=quant,
+            scan_layers=scan_layers,
+        )
+
+
+class LlamaLayerParams(NamedTuple):
+    input_ln: jax.Array  # [E]
+    qkv: lin.LinearParams  # [E, (Hq+2Hkv)*D]
+    o: lin.LinearParams  # [Hq*D, E]
+    post_ln: jax.Array  # [E]
+    gate_up: lin.LinearParams  # [E, 2*I]
+    down: lin.LinearParams  # [I, E]
+
+
+class LlamaParams(NamedTuple):
+    embed: jax.Array  # [V, E] bf16
+    layers: Any  # LlamaLayerParams stacked [L, ...] (scan) or tuple of them
+    final_ln: jax.Array  # [E]
+    lm_head: jax.Array  # [E, V] bf16
+
+
+# ---------------------------------------------------------------------------
+# Parameter construction
+# ---------------------------------------------------------------------------
+
+
+def random_float_params(key: jax.Array, args: LlamaArgs, scale: float = 0.02):
+    """Random *float* weights (test fixture / self-quantization source)."""
+    E, I, V = args.hidden_size, args.intermediate_size, args.vocab_size
+
+    def init(k, shape, s=scale):
+        return jax.random.normal(k, shape, dtype=jnp.float32) * s
+
+    keys = jax.random.split(key, args.num_layers + 2)
+    layers = []
+    for li in range(args.num_layers):
+        ks = jax.random.split(keys[li], 4)
+        layers.append(
+            dict(
+                input_ln=jnp.ones((E,), jnp.float32),
+                qkv=init(ks[0], (E, args.qkv_out)),
+                o=init(ks[1], (args.q_size, E)),
+                post_ln=jnp.ones((E,), jnp.float32),
+                gate_up=init(ks[2], (E, 2 * I)),
+                down=init(ks[3], (I, E)),
+            )
+        )
+    return dict(
+        embed=init(keys[-2], (V, E)),
+        layers=layers,
+        final_ln=jnp.ones((E,), jnp.float32),
+        lm_head=init(keys[-1], (E, V)),
+    )
+
+
+def quantize_params(float_params: dict, args: LlamaArgs) -> LlamaParams:
+    """Quantize float weights into the serving format per args.quant."""
+    wb, gs = args.quant.weight_bits, args.quant.group_size
+
+    def ql(w):
+        return lin.quantize_linear_from_float(jnp.asarray(w), wb, gs)
+
+    layers = [
+        LlamaLayerParams(
+            input_ln=jnp.asarray(fl["input_ln"], jnp.float32),
+            qkv=ql(fl["qkv"]),
+            o=ql(fl["o"]),
+            post_ln=jnp.asarray(fl["post_ln"], jnp.float32),
+            gate_up=ql(fl["gate_up"]),
+            down=ql(fl["down"]),
+        )
+        for fl in float_params["layers"]
+    ]
+    if args.scan_layers:
+        layers = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+    else:
+        layers = tuple(layers)
+    return LlamaParams(
+        embed=jnp.asarray(float_params["embed"], jnp.bfloat16),
+        layers=layers,
+        final_ln=jnp.asarray(float_params["final_ln"], jnp.float32),
+        lm_head=jnp.asarray(float_params["lm_head"], jnp.bfloat16),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Layer forward
+# ---------------------------------------------------------------------------
+
+
+def _quant_act(x: jax.Array, with_sum: bool) -> lin.QuantAct:
+    q, s, asum = ops.quant_per_token(x, with_sum)
+    return lin.QuantAct(q, s, asum)
+
+
+def _layer_forward(
+    lp: LlamaLayerParams,
+    layer_kv: kvc.KVCache,
+    h: jax.Array,  # [T, E] bf16
+    cos: jax.Array,
+    sin: jax.Array,
+    page_ids: jax.Array,  # [T]
+    slots: jax.Array,  # [T]
+    args: LlamaArgs,
+    attend,  # fn(q [T,Hq,D], k, v, layer_kv_after_append) -> [T,Hq,D]
+) -> Tuple[jax.Array, kvc.KVCache]:
+    T = h.shape[0]
+    qspec = args.quant
+    int8_act = qspec.act_bits == 8
+    gs = qspec.group_size if qspec.group_size > 0 else 128
+
+    # --- attention block ---
+    if int8_act:
+        need_sum = lin.needs_act_sum(lp.qkv)
+        q8, s8, a8 = ops.rmsnorm_quant(h, lp.input_ln, args.rms_eps, need_sum)
+        qkv = lin.apply_linear(lp.qkv, lin.QuantAct(q8, s8, a8), gs)
+    else:
+        x = ops.rmsnorm(h, lp.input_ln, args.rms_eps)
+        qkv = lin.apply_linear(lp.qkv, x, gs)
+
+    q, k, v = jnp.split(qkv, [args.q_size, args.q_size + args.kv_size], axis=-1)
+    q = q.reshape(T, args.num_heads, args.head_dim)
+    k = k.reshape(T, args.num_kv_heads, args.head_dim)
+    v = v.reshape(T, args.num_kv_heads, args.head_dim)
+    q = rope.apply_rope(q, cos, sin)
+    k = rope.apply_rope(k, cos, sin)
+
+    layer_kv = kvc.append_layer(
+        layer_kv, k, v, page_ids, slots, qspec.kv_bits, qspec.kv_zero_point
+    )
+    attn = attend(q, k, v, layer_kv)  # [T, Hq, D]
+    attn = attn.reshape(T, args.q_size)
+
+    if int8_act:
+        o = lin.apply_linear(lp.o, _quant_act(attn, lin.needs_act_sum(lp.o)), gs)
+    else:
+        o = lin.apply_linear(lp.o, attn, gs)
+    h = h + o.astype(h.dtype)
+
+    # --- MLP block ---
+    if int8_act:
+        need_sum = lin.needs_act_sum(lp.gate_up)
+        g8, gsc, gsum = ops.rmsnorm_quant(h, lp.post_ln, args.rms_eps, need_sum)
+        gu = lin.apply_linear(lp.gate_up, lin.QuantAct(g8, gsc, gsum), gs)
+        y8, ysc, ysum = ops.silu_mul_quant(gu, lin.needs_act_sum(lp.down))
+        d = lin.apply_linear(lp.down, lin.QuantAct(y8, ysc, ysum), gs)
+    else:
+        x = ops.rmsnorm(h, lp.post_ln, args.rms_eps)
+        gu = lin.apply_linear(lp.gate_up, x, gs)
+        y = ops.silu_mul(gu)
+        d = lin.apply_linear(lp.down, y, gs)
+    h = h + d.astype(h.dtype)
+    return h, layer_kv
+
+
+def _run_layers(params, kv, h, cos, sin, page_ids, slots, args, attend):
+    if args.scan_layers:
+
+        def body(carry, xs):
+            lp, layer_kv = xs
+            h = carry
+            h, new_kv = _layer_forward(
+                lp, layer_kv, h, cos, sin, page_ids, slots, args, attend
+            )
+            return h, new_kv
+
+        h, new_layers = jax.lax.scan(body, h, (params.layers, kv))
+        return h, new_layers
+    else:
+        new_layers = []
+        for li in range(args.num_layers):
+            lp = params.layers[li]
+            h, lkv = _layer_forward(
+                lp, kv.layer(li), h, cos, sin, page_ids, slots, args, attend
+            )
+            new_layers.append(lkv)
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *new_layers)
+        return h, stacked
+
+
+# ---------------------------------------------------------------------------
+# Prefill / decode steps
+# ---------------------------------------------------------------------------
+
+
+def prefill(
+    params: LlamaParams,
+    kv: kvc.KVCache,
+    token_ids: jax.Array,  # [T] int32, packed prompts (0-padded tail)
+    positions: jax.Array,  # [T] int32 position within each prompt
+    segment_ids: jax.Array,  # [T] int32, 0 = padding
+    page_ids: jax.Array,  # [T] int32 destination page (-1 = drop)
+    slots: jax.Array,  # [T] int32 slot within page
+    last_token_idx: jax.Array,  # [B] int32 index of each prompt's last token
+    args: LlamaArgs,
+) -> Tuple[jax.Array, kvc.KVCache]:
+    """Packed varlen prefill. Returns (logits [B, V], updated kv)."""
+    h = params.embed[token_ids].astype(jnp.bfloat16)
+    cos, sin = rope.rope_cos_sin(positions, args.head_dim, args.rope_theta)
+
+    def attend(q, k, v, _layer_kv):
+        return attention.prefill_attention(q, k, v, segment_ids)
+
+    h, kv = _run_layers(params, kv, h, cos, sin, page_ids, slots, args, attend)
+    h_last = h[last_token_idx]  # [B, E]
+    h_last = ops.rmsnorm(h_last, params.final_ln, args.rms_eps)
+    logits = ops.matmul(h_last, params.lm_head, args.logit_dtype)
+    return logits, kv
+
+
+def decode(
+    params: LlamaParams,
+    kv: kvc.KVCache,
+    token_ids: jax.Array,  # [B] int32 current tokens
+    block_tables: jax.Array,  # [B, maxP] int32
+    context_lens: jax.Array,  # [B] int32 INCLUDING the current token; 0 = pad row
+    args: LlamaArgs,
+) -> Tuple[jax.Array, kvc.KVCache]:
+    """One decode step for a batch. Returns (logits [B, V], updated kv)."""
+    B = token_ids.shape[0]
+    ps = kv.page_size
+    positions = context_lens - 1  # [B]
+    active = context_lens > 0
+    logical_page = jnp.where(active, positions // ps, 0)
+    page_ids = jnp.where(
+        active,
+        jnp.take_along_axis(block_tables, logical_page[:, None], axis=1)[:, 0],
+        -1,
+    )
+    slots = jnp.where(active, positions % ps, 0)
+
+    h = params.embed[token_ids].astype(jnp.bfloat16)
+    cos, sin = rope.rope_cos_sin(positions, args.head_dim, args.rope_theta)
+
+    def attend(q, k, v, layer_kv):
+        return attention.paged_decode_attention(
+            q, layer_kv, block_tables, context_lens, args.quant.kv_bits
+        )
+
+    h, kv = _run_layers(params, kv, h, cos, sin, page_ids, slots, args, attend)
+    h = ops.rmsnorm(h, params.final_ln, args.rms_eps)
+    logits = ops.matmul(h, params.lm_head, args.logit_dtype)
+    return logits, kv
+
+
+# ---------------------------------------------------------------------------
+# Float reference forward (for parity tests; no cache, full logits)
+# ---------------------------------------------------------------------------
+
+
+def reference_forward_float(
+    float_params: dict, args: LlamaArgs, token_ids: jax.Array
+) -> jax.Array:
+    """Plain fp32 forward of the same architecture on one sequence [T]."""
+    T = token_ids.shape[0]
+    E = args.hidden_size
+    h = jnp.asarray(float_params["embed"], jnp.float32)[token_ids]
+    positions = jnp.arange(T, dtype=jnp.int32)
+    cos, sin = rope.rope_cos_sin(positions, args.head_dim, args.rope_theta)
+
+    def rms(x, w):
+        v = jnp.mean(x * x, axis=-1, keepdims=True)
+        return x * jax.lax.rsqrt(v + args.rms_eps) * w
+
+    for fl in float_params["layers"]:
+        x = rms(h, fl["input_ln"])
+        qkv = x @ fl["qkv"]
+        q, k, v = jnp.split(qkv, [args.q_size, args.q_size + args.kv_size], axis=-1)
+        q = rope.apply_rope(q.reshape(T, args.num_heads, args.head_dim), cos, sin)
+        k = rope.apply_rope(k.reshape(T, args.num_kv_heads, args.head_dim), cos, sin)
+        v = v.reshape(T, args.num_kv_heads, args.head_dim)
+        seg = jnp.ones((T,), jnp.int32)
+        attn = attention.prefill_attention(q, k, v, seg)
+        h = h + attn.reshape(T, -1) @ fl["o"]
+        x = rms(h, fl["post_ln"])
+        gu = x @ fl["gate_up"]
+        g, u = jnp.split(gu, 2, axis=-1)
+        h = h + (jax.nn.silu(g) * u) @ fl["down"]
+    h = rms(h, float_params["final_ln"])
+    return h @ float_params["lm_head"]

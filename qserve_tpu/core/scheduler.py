@@ -1,0 +1,308 @@
+"""Iteration-level (continuous batching) scheduler.
+
+Semantics mirror the reference (qserve/core/scheduler.py): FCFS admission of
+waiting prompts under token/seq/watermark budgets, decode batching of RUNNING
+groups, preemption by recompute or swap when pages run out, and swap-in of
+preempted groups — reimplemented for the TPU engine (page ids, no torch).
+"""
+
+from __future__ import annotations
+
+import enum
+import time
+from collections import deque
+from typing import Deque, Dict, Iterable, List, Optional, Tuple
+
+from qserve_tpu.config import CacheConfig, SchedulerConfig
+from qserve_tpu.core.block_manager import AllocStatus, BlockSpaceManager
+from qserve_tpu.core.policy import PolicyFactory
+from qserve_tpu.logger import init_logger
+from qserve_tpu.sequence import (
+    Sequence,
+    SequenceGroup,
+    SequenceGroupMetadata,
+    SequenceStatus,
+)
+
+logger = init_logger(__name__)
+
+
+class PreemptionMode(enum.Enum):
+    SWAP = enum.auto()
+    RECOMPUTE = enum.auto()
+
+
+class SchedulerOutputs:
+    def __init__(
+        self,
+        scheduled_seq_groups: List[SequenceGroup],
+        prompt_run: bool,
+        num_batched_tokens: int,
+        blocks_to_swap_in: Dict[int, int],
+        blocks_to_swap_out: Dict[int, int],
+        blocks_to_copy: Dict[int, List[int]],
+        ignored_seq_groups: List[SequenceGroup],
+    ) -> None:
+        self.scheduled_seq_groups = scheduled_seq_groups
+        self.prompt_run = prompt_run
+        self.num_batched_tokens = num_batched_tokens
+        self.blocks_to_swap_in = blocks_to_swap_in
+        self.blocks_to_swap_out = blocks_to_swap_out
+        self.blocks_to_copy = blocks_to_copy
+        self.ignored_seq_groups = ignored_seq_groups
+
+    def is_empty(self) -> bool:
+        return (
+            not self.scheduled_seq_groups
+            and not self.blocks_to_swap_in
+            and not self.blocks_to_swap_out
+            and not self.blocks_to_copy
+        )
+
+
+class Scheduler:
+    def __init__(
+        self,
+        scheduler_config: SchedulerConfig,
+        cache_config: CacheConfig,
+    ) -> None:
+        self.scheduler_config = scheduler_config
+        self.cache_config = cache_config
+        self.policy = PolicyFactory.get_policy("fcfs")
+        self.block_manager = BlockSpaceManager(
+            block_size=cache_config.block_size,
+            num_device_pages=cache_config.num_device_pages or 0,
+            num_cpu_pages=cache_config.num_cpu_pages,
+        )
+        self.waiting: Deque[SequenceGroup] = deque()
+        self.running: Deque[SequenceGroup] = deque()
+        self.swapped: Deque[SequenceGroup] = deque()
+
+    # ---- request lifecycle ----
+    def add_seq_group(self, seq_group: SequenceGroup) -> None:
+        self.waiting.append(seq_group)
+
+    def abort_seq_group(self, request_ids: Iterable[str]) -> None:
+        ids = set(request_ids)
+        for queue in (self.waiting, self.running, self.swapped):
+            kept = deque()
+            for group in queue:
+                if group.request_id in ids:
+                    for seq in group.get_seqs():
+                        if not seq.is_finished():
+                            seq.status = SequenceStatus.FINISHED_ABORTED
+                            self.free_seq(seq)
+                else:
+                    kept.append(group)
+            queue.clear()
+            queue.extend(kept)
+
+    def has_unfinished_seqs(self) -> bool:
+        return bool(self.waiting or self.running or self.swapped)
+
+    def get_num_unfinished_seq_groups(self) -> int:
+        return len(self.waiting) + len(self.running) + len(self.swapped)
+
+    # ---- the scheduling step ----
+    def schedule(self) -> Tuple[List[SequenceGroupMetadata], SchedulerOutputs]:
+        outputs = self._schedule()
+        metadata: List[SequenceGroupMetadata] = []
+        for group in outputs.scheduled_seq_groups:
+            seq_data = {}
+            block_tables = {}
+            for seq in group.get_seqs(SequenceStatus.RUNNING):
+                seq_data[seq.seq_id] = seq.data
+                block_tables[seq.seq_id] = list(self.block_manager.get_page_table(seq))
+            metadata.append(
+                SequenceGroupMetadata(
+                    request_id=group.request_id,
+                    is_prompt=outputs.prompt_run,
+                    seq_data=seq_data,
+                    sampling_params=group.sampling_params,
+                    block_tables=block_tables,
+                    multi_modal_data=group.multi_modal_data,
+                )
+            )
+        return metadata, outputs
+
+    def _schedule(self) -> SchedulerOutputs:
+        now = time.time()
+        blocks_to_swap_in: Dict[int, int] = {}
+        blocks_to_swap_out: Dict[int, int] = {}
+        blocks_to_copy: Dict[int, List[int]] = {}
+        ignored: List[SequenceGroup] = []
+
+        # Phase 1: admit new prompts (only when nothing is swapped out,
+        # mirroring the reference's ordering guarantee).
+        if not self.swapped:
+            scheduled: List[SequenceGroup] = []
+            num_batched_tokens = 0
+            num_running_seqs = sum(
+                g.get_max_num_running_seqs() for g in self.running
+            )
+            while self.waiting:
+                group = self.waiting[0]
+                waiting_seqs = group.get_seqs(SequenceStatus.WAITING)
+                assert len(waiting_seqs) == 1, "prompt groups have one seq"
+                prompt_len = waiting_seqs[0].get_len()
+                if prompt_len > min(
+                    self.scheduler_config.max_model_len,
+                    self.scheduler_config.max_num_batched_tokens,
+                ):
+                    logger.warning(
+                        "Prompt (%d tokens) exceeds limit; ignoring request %s",
+                        prompt_len,
+                        group.request_id,
+                    )
+                    for seq in waiting_seqs:
+                        seq.status = SequenceStatus.FINISHED_IGNORED
+                    ignored.append(group)
+                    self.waiting.popleft()
+                    continue
+
+                alloc = self.block_manager.can_allocate(group)
+                if alloc == AllocStatus.NEVER:
+                    logger.warning(
+                        "Prompt of request %s can never fit in KV cache; ignoring",
+                        group.request_id,
+                    )
+                    for seq in waiting_seqs:
+                        seq.status = SequenceStatus.FINISHED_IGNORED
+                    ignored.append(group)
+                    self.waiting.popleft()
+                    continue
+                if alloc == AllocStatus.LATER:
+                    break
+                if (
+                    num_batched_tokens + prompt_len
+                    > self.scheduler_config.max_num_batched_tokens
+                ):
+                    break
+                new_seqs = group.get_max_num_running_seqs()
+                if num_running_seqs + new_seqs > self.scheduler_config.max_num_seqs:
+                    break
+
+                self.waiting.popleft()
+                self._allocate(group)
+                self.running.append(group)
+                scheduled.append(group)
+                num_batched_tokens += prompt_len
+                num_running_seqs += new_seqs
+
+            if scheduled or ignored:
+                return SchedulerOutputs(
+                    scheduled_seq_groups=scheduled,
+                    prompt_run=True,
+                    num_batched_tokens=num_batched_tokens,
+                    blocks_to_swap_in=blocks_to_swap_in,
+                    blocks_to_swap_out=blocks_to_swap_out,
+                    blocks_to_copy=blocks_to_copy,
+                    ignored_seq_groups=ignored,
+                )
+
+        # Phase 2: decode step for running groups; preempt if out of pages.
+        self.running = deque(self.policy.sort_by_priority(now, self.running))
+        running: Deque[SequenceGroup] = deque()
+        preempted: List[SequenceGroup] = []
+        while self.running:
+            group = self.running.popleft()
+            while not self.block_manager.can_append_slot(group):
+                if self.running:
+                    victim = self.running.pop()  # lowest priority
+                    self._preempt(victim, blocks_to_swap_out)
+                    preempted.append(victim)
+                else:
+                    self._preempt(group, blocks_to_swap_out)
+                    preempted.append(group)
+                    break
+            else:
+                self._append_slots(group, blocks_to_copy)
+                running.append(group)
+        self.running = running
+
+        # Phase 3: try to swap preempted groups back in.
+        self.swapped = deque(self.policy.sort_by_priority(now, self.swapped))
+        if not preempted:
+            num_running_seqs = sum(
+                g.get_max_num_running_seqs() for g in self.running
+            )
+            while self.swapped:
+                group = self.swapped[0]
+                if not self.block_manager.can_swap_in(group):
+                    break
+                new_seqs = group.get_max_num_running_seqs()
+                if num_running_seqs + new_seqs > self.scheduler_config.max_num_seqs:
+                    break
+                self.swapped.popleft()
+                mapping = self.block_manager.swap_in(group)
+                blocks_to_swap_in.update(mapping)
+                for seq in group.get_seqs(SequenceStatus.SWAPPED):
+                    seq.status = SequenceStatus.RUNNING
+                self._append_slots(group, blocks_to_copy)
+                self.running.append(group)
+                num_running_seqs += new_seqs
+
+        num_batched_tokens = sum(
+            g.num_seqs(SequenceStatus.RUNNING) for g in self.running
+        )
+        return SchedulerOutputs(
+            scheduled_seq_groups=list(self.running),
+            prompt_run=False,
+            num_batched_tokens=num_batched_tokens,
+            blocks_to_swap_in=blocks_to_swap_in,
+            blocks_to_swap_out=blocks_to_swap_out,
+            blocks_to_copy=blocks_to_copy,
+            ignored_seq_groups=[],
+        )
+
+    # ---- helpers ----
+    def _allocate(self, group: SequenceGroup) -> None:
+        self.block_manager.allocate(group)
+        for seq in group.get_seqs(SequenceStatus.WAITING):
+            seq.status = SequenceStatus.RUNNING
+
+    def _append_slots(
+        self, group: SequenceGroup, blocks_to_copy: Dict[int, List[int]]
+    ) -> None:
+        for seq in group.get_seqs(SequenceStatus.RUNNING):
+            cow = self.block_manager.append_slot(seq)
+            if cow is not None:
+                src, dst = cow
+                blocks_to_copy.setdefault(src, []).append(dst)
+
+    def _preempt(
+        self,
+        group: SequenceGroup,
+        blocks_to_swap_out: Dict[int, int],
+        mode: Optional[PreemptionMode] = None,
+    ) -> None:
+        if mode is None:
+            # single-stream groups are cheapest to recompute (reference default)
+            mode = (
+                PreemptionMode.RECOMPUTE
+                if group.get_max_num_running_seqs() == 1
+                else PreemptionMode.SWAP
+            )
+        if mode == PreemptionMode.SWAP and not self.block_manager.can_swap_out(group):
+            mode = PreemptionMode.RECOMPUTE
+        if mode == PreemptionMode.RECOMPUTE:
+            for seq in group.get_seqs(SequenceStatus.RUNNING):
+                seq.status = SequenceStatus.WAITING
+                self.block_manager.free(seq)
+                # keep generated tokens: they re-enter as part of the prompt
+            self.waiting.appendleft(group)
+        else:
+            mapping = self.block_manager.swap_out(group)
+            blocks_to_swap_out.update(mapping)
+            for seq in group.get_seqs(SequenceStatus.RUNNING):
+                seq.status = SequenceStatus.SWAPPED
+            self.swapped.append(group)
+
+    def free_seq(self, seq: Sequence) -> None:
+        self.block_manager.free(seq)
+
+    def free_finished_seq_groups(self) -> None:
+        self.running = deque(g for g in self.running if not g.is_finished())
+
+    def fork_seq(self, parent: Sequence, child: Sequence) -> None:
+        self.block_manager.fork(parent, child)

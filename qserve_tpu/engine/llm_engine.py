@@ -1,0 +1,207 @@
+"""LLMEngine: the top-level serving orchestrator.
+
+Reference counterpart: qserve/engine/llm_engine.py — tokenize + enqueue
+requests, drive schedule -> execute -> postprocess each step, stop-condition
+checks, detokenization. Single-controller design: one engine process drives
+one SPMD program (which may span many TPU chips via the mesh — the worker's
+step functions are sharding-aware, the engine is not).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional, Tuple
+
+from qserve_tpu.config import (
+    CacheConfig,
+    IFBConfig,
+    ModelConfig,
+    ParallelConfig,
+    SchedulerConfig,
+)
+from qserve_tpu.core.scheduler import Scheduler, SchedulerOutputs
+from qserve_tpu.logger import init_logger
+from qserve_tpu.sampling_params import SamplingParams
+from qserve_tpu.sequence import (
+    RequestOutput,
+    Sequence,
+    SequenceGroup,
+    SequenceStatus,
+)
+from qserve_tpu.utils.utils import Counter
+from qserve_tpu.worker.worker import Worker
+
+logger = init_logger(__name__)
+
+
+class LLMEngine:
+    def __init__(
+        self,
+        worker: Worker,
+        scheduler_config: SchedulerConfig,
+        cache_config: CacheConfig,
+        tokenizer=None,
+        log_stats: bool = False,
+    ) -> None:
+        self.worker = worker
+        self.tokenizer = tokenizer
+        self.scheduler = Scheduler(scheduler_config, cache_config)
+        self.scheduler_config = scheduler_config
+        self.cache_config = cache_config
+        self.seq_counter = Counter()
+        self.log_stats = log_stats
+        # seq_id -> (group, seq) for O(1) result routing
+        self._seq_index: Dict[int, Tuple[SequenceGroup, Sequence]] = {}
+        self._num_generated = 0
+        self._num_prompt_tokens = 0
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_engine_args(cls, engine_args) -> "LLMEngine":
+        """Build an engine from EngineArgs (see engine/arg_utils.py)."""
+        from qserve_tpu.engine.arg_utils import EngineArgs
+
+        assert isinstance(engine_args, EngineArgs)
+        return engine_args.build_engine()
+
+    # ------------------------------------------------------------------
+    def add_request(
+        self,
+        request_id: str,
+        prompt: Optional[str] = None,
+        sampling_params: Optional[SamplingParams] = None,
+        prompt_token_ids: Optional[List[int]] = None,
+        arrival_time: Optional[float] = None,
+        multi_modal_data: Optional[dict] = None,
+    ) -> None:
+        if sampling_params is None:
+            sampling_params = SamplingParams()
+        if prompt_token_ids is None:
+            assert self.tokenizer is not None, "no tokenizer: pass prompt_token_ids"
+            prompt_token_ids = self.tokenizer.encode(prompt)
+        if sampling_params.n != 1 or sampling_params.best_of != 1:
+            raise NotImplementedError("n>1 / best_of>1 not yet supported")
+
+        extra_slots = 0
+        if multi_modal_data and multi_modal_data.get("num_images"):
+            # VLM prompts grow by (tokens_per_image - 1) slots per image tag
+            from qserve_tpu.utils.constants import LLAVA_TOKENS_PER_IMAGE
+
+            extra_slots = (LLAVA_TOKENS_PER_IMAGE - 1) * multi_modal_data["num_images"]
+
+        seq = Sequence(
+            next(self.seq_counter),
+            prompt,
+            prompt_token_ids,
+            self.cache_config.block_size,
+            extra_page_slots=extra_slots,
+        )
+        group = SequenceGroup(
+            request_id, [seq], sampling_params, arrival_time, multi_modal_data
+        )
+        self._seq_index[seq.seq_id] = (group, seq)
+        self.scheduler.add_seq_group(group)
+
+    def abort_request(self, request_id: str) -> None:
+        self.scheduler.abort_seq_group([request_id])
+
+    def has_unfinished_requests(self) -> bool:
+        return self.scheduler.has_unfinished_seqs()
+
+    def get_num_unfinished_requests(self) -> int:
+        return self.scheduler.get_num_unfinished_seq_groups()
+
+    # ------------------------------------------------------------------
+    def step(self) -> List[RequestOutput]:
+        metadata, sched = self.scheduler.schedule()
+        if not metadata and not sched.ignored_seq_groups:
+            if not sched.is_empty():
+                self.worker.execute_model([], sched)  # swaps only
+            return []
+
+        results = self.worker.execute_model(metadata, sched)
+        if sched.prompt_run:
+            for md in metadata:
+                for data in md.seq_data.values():
+                    self._num_prompt_tokens += data.get_len()
+
+        outputs: List[RequestOutput] = []
+        touched_groups = []
+        for seq_id, token in results:
+            group, seq = self._seq_index[seq_id]
+            seq.append_token_id(token)
+            self._num_generated += 1
+            self._check_stop(seq, group.sampling_params)
+            if seq.is_finished():
+                self._finalize_sequence(seq, group.sampling_params)
+                self.scheduler.free_seq(seq)
+            touched_groups.append(group)
+
+        self.scheduler.free_finished_seq_groups()
+        seen = set()
+        for group in touched_groups:
+            if id(group) in seen:
+                continue
+            seen.add(id(group))
+            outputs.append(RequestOutput.from_seq_group(group))
+        for group in sched.ignored_seq_groups:
+            outputs.append(RequestOutput.from_seq_group(group))
+        return outputs
+
+    # ------------------------------------------------------------------
+    def _check_stop(self, seq: Sequence, params: SamplingParams) -> None:
+        last = seq.get_last_token_id()
+        if not params.ignore_eos and self.tokenizer is not None:
+            eos = getattr(self.tokenizer, "eos_token_id", None)
+            if eos is not None and last == eos:
+                seq.status = SequenceStatus.FINISHED_STOPPED
+                return
+        if last in params.stop_token_ids:
+            seq.status = SequenceStatus.FINISHED_STOPPED
+            return
+        if seq.get_output_len() >= params.max_tokens:
+            seq.status = SequenceStatus.FINISHED_LENGTH_CAPPED
+            return
+        if seq.get_len() >= self.scheduler_config.max_model_len:
+            seq.status = SequenceStatus.FINISHED_LENGTH_CAPPED
+            return
+        if params.stop and self.tokenizer is not None:
+            text = self.tokenizer.decode(
+                seq.data.output_token_ids,
+                skip_special_tokens=params.skip_special_tokens,
+            )
+            for stop_str in params.stop:
+                idx = text.find(stop_str)
+                if idx != -1:
+                    seq.output_text = text[:idx]
+                    seq.status = SequenceStatus.FINISHED_STOPPED
+                    return
+            seq.output_text = text
+
+    def _finalize_sequence(self, seq: Sequence, params: SamplingParams) -> None:
+        if self.tokenizer is None:
+            return
+        if seq.status == SequenceStatus.FINISHED_STOPPED and params.stop:
+            return  # output_text already trimmed at the stop string
+        out_ids = list(seq.data.output_token_ids)
+        if (
+            seq.status == SequenceStatus.FINISHED_STOPPED
+            and not params.ignore_eos
+            and out_ids
+            and out_ids[-1] == getattr(self.tokenizer, "eos_token_id", None)
+        ):
+            out_ids = out_ids[:-1]
+        seq.output_text = self.tokenizer.decode(
+            out_ids, skip_special_tokens=params.skip_special_tokens
+        )
+
+    # ------------------------------------------------------------------
+    def stats(self) -> dict:
+        return dict(
+            generated_tokens=self._num_generated,
+            prompt_tokens=self._num_prompt_tokens,
+            free_pages=self.scheduler.block_manager.get_num_free_device_pages(),
+            waiting=len(self.scheduler.waiting),
+            running=len(self.scheduler.running),
+            swapped=len(self.scheduler.swapped),
+        )

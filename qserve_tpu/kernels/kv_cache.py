@@ -116,17 +116,16 @@ def append_layer(
     """
     kq, ks, kz = quantize_kv_for_store(k_new, kv_bits, zero_point)
     vq, vs, vz = quantize_kv_for_store(v_new, kv_bits, zero_point)
-    # [T, H, Dc] -> scatter at [page, :, slot, :]. Use explicit index arrays.
-    valid = page_ids >= 0
-    safe_pages = jnp.where(valid, page_ids, 0)
-    mode = "drop"  # out-of-bounds writes dropped (defensive)
+    # [T, H, Dc] -> scatter at [page, :, slot, :]. Invalid (padding) tokens are
+    # routed OUT OF BOUNDS and dropped by scatter mode="drop" — routing them to
+    # any real page would race genuine writes to that slot (XLA scatter with
+    # duplicate indices has unspecified order).
+    num_pages = layer.k_data.shape[0]
+    safe_pages = jnp.where(page_ids >= 0, page_ids, num_pages)
 
     def scat(buf, vals):
-        # buf [P, H, ps, ...]; vals [T, H, ...] -> buf[page, h, slot] = vals
-        vals = jnp.where(
-            valid.reshape((-1,) + (1,) * (vals.ndim - 1)), vals, buf[safe_pages, :, slots]
-        )
-        return buf.at[safe_pages, :, slots].set(vals, mode=mode)
+        # buf [P, H, ps, ...]; vals [T, H, ...] -> buf[page, :, slot] = vals
+        return buf.at[safe_pages, :, slots].set(vals, mode="drop")
 
     return KVCache(
         k_data=scat(layer.k_data, kq),

@@ -1,0 +1,204 @@
+"""Model runner: marshals scheduler output into jitted TPU step functions.
+
+Reference counterpart: qserve/worker/model_runner.py. Key differences by
+design (SURVEY.md §7.1):
+  * no raw device pointers — page tables are int32 index arrays;
+  * no pre-allocated ActivationBuffer — XLA owns intermediates; instead the
+    *shapes* are bucketed (prefill token count, decode batch size) so the
+    compiled step cache stays small;
+  * sampling runs inside the jitted step (per-request temperature/top-k/top-p
+    vectors), so only the sampled token ids [B] cross back to the host.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qserve_tpu.config import CacheConfig, ModelConfig, SchedulerConfig
+from qserve_tpu.kernels import kv_cache as kvc
+from qserve_tpu.layers import sampler as sampler_mod
+from qserve_tpu.logger import init_logger
+from qserve_tpu.models import llama
+from qserve_tpu.sequence import SequenceGroupMetadata
+from qserve_tpu.utils.utils import bucket
+
+logger = init_logger(__name__)
+
+_SAMPLING_EPS = 1e-5
+
+
+@functools.partial(
+    jax.jit, static_argnames=("args",), donate_argnames=("kv",)
+)
+def _prefill_step(
+    params, kv, tok, pos, seg, pages, slots, last_idx, temp, topp, topk, key, *, args
+):
+    logits, kv = llama.prefill(params, kv, tok, pos, seg, pages, slots, last_idx, args)
+    toks = sampler_mod.sample(logits, temp, topp, topk, key)
+    return toks, kv
+
+
+@functools.partial(
+    jax.jit, static_argnames=("args",), donate_argnames=("kv",)
+)
+def _decode_step(
+    params, kv, tok, block_tables, context_lens, temp, topp, topk, key, *, args
+):
+    logits, kv = llama.decode(params, kv, tok, block_tables, context_lens, args)
+    toks = sampler_mod.sample(logits, temp, topp, topk, key)
+    return toks, kv
+
+
+class ModelRunner:
+    """Holds model params + compiled step functions for one SPMD program."""
+
+    def __init__(
+        self,
+        params: llama.LlamaParams,
+        model_args: llama.LlamaArgs,
+        max_model_len: int,
+        block_size: int,
+        max_num_batched_tokens: int = 2048,
+        max_num_seqs: int = 256,
+        rng_seed: int = 0,
+    ) -> None:
+        self.params = params
+        self.model_args = model_args
+        self.block_size = block_size
+        self.max_pages_per_seq = -(-max_model_len // block_size)
+        self.max_num_batched_tokens = max_num_batched_tokens
+        self.max_num_seqs = max_num_seqs
+        self._key = jax.random.PRNGKey(rng_seed)
+        self._step = 0
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_random(
+        cls,
+        model_args: llama.LlamaArgs,
+        max_model_len: int,
+        block_size: int,
+        seed: int = 0,
+        **kw,
+    ) -> "ModelRunner":
+        fp = llama.random_float_params(jax.random.PRNGKey(seed), model_args)
+        params = llama.quantize_params(fp, model_args)
+        return cls(params, model_args, max_model_len, block_size, **kw)
+
+    # ------------------------------------------------------------------
+    def _next_key(self):
+        self._step += 1
+        return jax.random.fold_in(self._key, self._step)
+
+    def _sampling_arrays(self, per_seq_params, pad_to: int):
+        temp = np.zeros(pad_to, np.float32)
+        topp = np.ones(pad_to, np.float32)
+        topk = np.zeros(pad_to, np.int32)
+        for i, sp in enumerate(per_seq_params):
+            temp[i] = 0.0 if sp.temperature < _SAMPLING_EPS else sp.temperature
+            topp[i] = sp.top_p
+            topk[i] = 0 if sp.top_k in (-1, 0) else sp.top_k
+        return jnp.asarray(temp), jnp.asarray(topp), jnp.asarray(topk)
+
+    # ------------------------------------------------------------------
+    def execute_prefill(
+        self,
+        metadata: List[SequenceGroupMetadata],
+        cache_engine,
+    ) -> List[Tuple[int, int]]:
+        """Returns [(seq_id, sampled_token)] in schedule order."""
+        tokens: List[int] = []
+        positions: List[int] = []
+        seg_ids: List[int] = []
+        page_ids: List[int] = []
+        slots: List[int] = []
+        last_idx: List[int] = []
+        seq_order: List[int] = []
+        sp_list = []
+
+        seg = 0
+        for md in metadata:
+            for seq_id, data in md.seq_data.items():
+                seg += 1
+                ids = data.get_token_ids()
+                table = md.block_tables[seq_id]
+                start = len(tokens)
+                for p, t in enumerate(ids):
+                    tokens.append(t)
+                    positions.append(p)
+                    seg_ids.append(seg)
+                    page_ids.append(table[p // self.block_size])
+                    slots.append(p % self.block_size)
+                last_idx.append(start + len(ids) - 1)
+                seq_order.append(seq_id)
+                sp_list.append(md.sampling_params)
+
+        T = bucket(len(tokens), 16, self.max_num_batched_tokens * 2)
+        B = bucket(len(seq_order), 1, self.max_num_seqs)
+        pad_t = T - len(tokens)
+        tok = np.asarray(tokens + [0] * pad_t, np.int32)
+        pos = np.asarray(positions + [0] * pad_t, np.int32)
+        sg = np.asarray(seg_ids + [0] * pad_t, np.int32)
+        pg = np.asarray(page_ids + [-1] * pad_t, np.int32)
+        sl = np.asarray(slots + [0] * pad_t, np.int32)
+        li = np.zeros(B, np.int32)
+        li[: len(last_idx)] = last_idx
+        temp, topp, topk = self._sampling_arrays(sp_list, B)
+
+        toks, cache_engine.cache = _prefill_step(
+            self.params,
+            cache_engine.cache,
+            *map(jnp.asarray, (tok, pos, sg, pg, sl, li)),
+            temp, topp, topk,
+            self._next_key(),
+            args=self.model_args,
+        )
+        out = np.asarray(jax.device_get(toks))
+        return [(sid, int(out[i])) for i, sid in enumerate(seq_order)]
+
+    # ------------------------------------------------------------------
+    def execute_decode(
+        self,
+        metadata: List[SequenceGroupMetadata],
+        cache_engine,
+    ) -> List[Tuple[int, int]]:
+        seq_order: List[int] = []
+        tokens: List[int] = []
+        ctx: List[int] = []
+        tables: List[List[int]] = []
+        sp_list = []
+        for md in metadata:
+            for seq_id, data in md.seq_data.items():
+                seq_order.append(seq_id)
+                tokens.append(data.get_last_token_id())
+                ctx.append(data.get_len())
+                tables.append(md.block_tables[seq_id])
+                sp_list.append(md.sampling_params)
+
+        B = bucket(len(seq_order), 1, self.max_num_seqs)
+        tok = np.zeros(B, np.int32)
+        tok[: len(tokens)] = tokens
+        cl = np.zeros(B, np.int32)
+        cl[: len(ctx)] = ctx
+        bt = np.zeros((B, self.max_pages_per_seq), np.int32)
+        for i, t in enumerate(tables):
+            bt[i, : len(t)] = t
+        temp, topp, topk = self._sampling_arrays(sp_list, B)
+
+        toks, cache_engine.cache = _decode_step(
+            self.params,
+            cache_engine.cache,
+            jnp.asarray(tok),
+            jnp.asarray(bt),
+            jnp.asarray(cl),
+            temp, topp, topk,
+            self._next_key(),
+            args=self.model_args,
+        )
+        out = np.asarray(jax.device_get(toks))
+        return [(sid, int(out[i])) for i, sid in enumerate(seq_order)]

@@ -1,0 +1,170 @@
+"""End-to-end LLMEngine tests on a tiny random model (CPU)."""
+
+import numpy as np
+import pytest
+
+from qserve_tpu.config import CacheConfig, QuantSpec, SchedulerConfig
+from qserve_tpu.engine.llm_engine import LLMEngine
+from qserve_tpu.models import llama
+from qserve_tpu.sampling_params import SamplingParams
+from qserve_tpu.worker.worker import Worker
+
+BS = 16
+
+
+def build_engine(pages=64, max_seqs=8, max_tokens=256, max_len=256, precision="w4a8kv4"):
+    args = llama.LlamaArgs(
+        vocab_size=128,
+        hidden_size=128,
+        intermediate_size=256,
+        num_layers=2,
+        num_heads=4,
+        num_kv_heads=2,
+        head_dim=32,
+        quant=QuantSpec.from_precision(precision),
+    )
+    sc = SchedulerConfig(
+        max_num_batched_tokens=max_tokens, max_num_seqs=max_seqs, max_model_len=max_len
+    )
+    cc = CacheConfig(
+        block_size=BS, num_device_pages=pages, quant=args.quant,
+    )
+    worker = Worker.create(args, cc, sc, seed=0)
+    return LLMEngine(worker, sc, cc)
+
+
+def run_to_completion(engine, max_steps=200):
+    outputs = {}
+    steps = 0
+    while engine.has_unfinished_requests():
+        for out in engine.step():
+            if out.finished:
+                outputs[out.request_id] = out
+        steps += 1
+        assert steps < max_steps, "engine did not converge"
+    return outputs, steps
+
+
+class TestEngineE2E:
+    def test_basic_generation(self):
+        engine = build_engine()
+        engine.add_request(
+            "r0", prompt_token_ids=[1, 5, 9, 13],
+            sampling_params=SamplingParams(max_tokens=8, temperature=0.0),
+        )
+        outputs, _ = run_to_completion(engine)
+        out = outputs["r0"]
+        assert out.finished
+        assert len(out.outputs[0]["token_ids"]) == 8
+        assert out.outputs[0]["finish_reason"] == "length"
+
+    def test_many_requests_ifb(self):
+        engine = build_engine(max_seqs=4)
+        for i in range(10):
+            engine.add_request(
+                f"r{i}", prompt_token_ids=[i + 1, i + 2, i + 3],
+                sampling_params=SamplingParams(max_tokens=4 + i % 3, temperature=0.0),
+            )
+        outputs, _ = run_to_completion(engine)
+        assert len(outputs) == 10
+        for i in range(10):
+            assert len(outputs[f"r{i}"].outputs[0]["token_ids"]) == 4 + i % 3
+
+    def test_greedy_deterministic_across_batching(self):
+        """Same request alone vs batched with others: identical greedy tokens."""
+        engine = build_engine()
+        engine.add_request(
+            "solo", prompt_token_ids=[7, 8, 9],
+            sampling_params=SamplingParams(max_tokens=6, temperature=0.0),
+        )
+        solo, _ = run_to_completion(engine)
+
+        engine2 = build_engine()
+        for i in range(3):
+            engine2.add_request(
+                f"other{i}", prompt_token_ids=[20 + i],
+                sampling_params=SamplingParams(max_tokens=6, temperature=0.0),
+            )
+        engine2.add_request(
+            "solo", prompt_token_ids=[7, 8, 9],
+            sampling_params=SamplingParams(max_tokens=6, temperature=0.0),
+        )
+        batched, _ = run_to_completion(engine2)
+        assert (
+            solo["solo"].outputs[0]["token_ids"]
+            == batched["solo"].outputs[0]["token_ids"]
+        )
+
+    def test_stop_token(self):
+        engine = build_engine()
+        engine.add_request(
+            "r0", prompt_token_ids=[1, 2, 3],
+            sampling_params=SamplingParams(max_tokens=50, temperature=0.0),
+        )
+        # find what greedy generates, then use its 3rd token as a stop token
+        outputs, _ = run_to_completion(engine)
+        toks = outputs["r0"].outputs[0]["token_ids"]
+        stop_tok = toks[2]
+
+        engine2 = build_engine()
+        engine2.add_request(
+            "r0", prompt_token_ids=[1, 2, 3],
+            sampling_params=SamplingParams(
+                max_tokens=50, temperature=0.0, stop_token_ids=[stop_tok]
+            ),
+        )
+        outputs2, _ = run_to_completion(engine2)
+        toks2 = outputs2["r0"].outputs[0]["token_ids"]
+        assert toks2[-1] == stop_tok
+        assert len(toks2) == 3
+        assert outputs2["r0"].outputs[0]["finish_reason"] == "stop"
+
+    def test_max_model_len_caps(self):
+        engine = build_engine(max_len=24)
+        engine.add_request(
+            "r0", prompt_token_ids=list(range(1, 20)),
+            sampling_params=SamplingParams(max_tokens=100, temperature=0.0),
+        )
+        outputs, _ = run_to_completion(engine)
+        assert outputs["r0"].outputs[0]["finish_reason"] == "length"
+        assert len(outputs["r0"].outputs[0]["token_ids"]) == 24 - 19
+
+    def test_page_pressure_preemption_still_completes(self):
+        """More concurrent requests than pages -> preemption, all finish."""
+        engine = build_engine(pages=8, max_seqs=8)
+        for i in range(6):
+            engine.add_request(
+                f"r{i}", prompt_token_ids=[i + 1] * (BS - 2),
+                sampling_params=SamplingParams(max_tokens=6, temperature=0.0),
+            )
+        outputs, _ = run_to_completion(engine, max_steps=400)
+        assert len(outputs) == 6
+        for i in range(6):
+            assert len(outputs[f"r{i}"].outputs[0]["token_ids"]) == 6
+        # all pages returned
+        assert engine.scheduler.block_manager.get_num_free_device_pages() == 8
+
+    def test_sampled_generation_valid(self):
+        engine = build_engine()
+        engine.add_request(
+            "r0", prompt_token_ids=[1, 2, 3],
+            sampling_params=SamplingParams(
+                max_tokens=12, temperature=0.9, top_p=0.9, top_k=20
+            ),
+        )
+        outputs, _ = run_to_completion(engine)
+        toks = outputs["r0"].outputs[0]["token_ids"]
+        assert len(toks) == 12
+        assert all(0 <= t < 128 for t in toks)
+
+    def test_abort_releases_pages(self):
+        engine = build_engine()
+        engine.add_request(
+            "r0", prompt_token_ids=[1, 2, 3],
+            sampling_params=SamplingParams(max_tokens=50, temperature=0.0),
+        )
+        engine.step()  # prefill
+        assert engine.scheduler.block_manager.get_num_free_device_pages() < 64
+        engine.abort_request("r0")
+        assert not engine.has_unfinished_requests()
+        assert engine.scheduler.block_manager.get_num_free_device_pages() == 64

@@ -1,0 +1,130 @@
+"""Headline benchmark: Llama-3-8B W4A8KV4 decode throughput on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is relative to the reference's best published Llama-3-8B number
+(3656 tok/s on L40S, /root/repo/BASELINE.md).
+
+Env knobs: QSERVE_BENCH_MODEL (8b|1b|tiny), QSERVE_BENCH_BATCH,
+QSERVE_BENCH_CTX, QSERVE_BENCH_STEPS, QSERVE_BENCH_PRECISION.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_TOK_S = 3656.0  # reference Llama-3-8B on L40S (README.md:340-348)
+
+
+def model_args(name: str, precision: str):
+    from qserve_tpu.config import QuantSpec
+    from qserve_tpu.models import llama
+
+    quant = QuantSpec.from_precision(precision, -1)
+    if name == "8b":  # Llama-3-8B geometry
+        return llama.LlamaArgs(
+            vocab_size=128256, hidden_size=4096, intermediate_size=14336,
+            num_layers=32, num_heads=32, num_kv_heads=8, head_dim=128,
+            rope_theta=500000.0, quant=quant,
+        )
+    if name == "1b":  # TinyLlama-1.1B geometry
+        return llama.LlamaArgs(
+            vocab_size=32000, hidden_size=2048, intermediate_size=5632,
+            num_layers=22, num_heads=32, num_kv_heads=4, head_dim=64,
+            quant=quant,
+        )
+    return llama.LlamaArgs(
+        vocab_size=1024, hidden_size=512, intermediate_size=1024,
+        num_layers=4, num_heads=8, num_kv_heads=4, head_dim=64, quant=quant,
+    )
+
+
+def main():
+    from qserve_tpu.kernels import kv_cache as kvc
+    from qserve_tpu.models import llama
+
+    name = os.environ.get("QSERVE_BENCH_MODEL", "8b")
+    precision = os.environ.get("QSERVE_BENCH_PRECISION", "w4a8kv4")
+    B = int(os.environ.get("QSERVE_BENCH_BATCH", "48"))
+    ctx = int(os.environ.get("QSERVE_BENCH_CTX", "1280"))  # ~1024 in + mid-gen
+    steps = int(os.environ.get("QSERVE_BENCH_STEPS", "16"))
+    warmup = int(os.environ.get("QSERVE_BENCH_WARMUP", "3"))
+    # 128-token pages: the Pallas paged-attention kernel wants lane-aligned
+    # pages (page_size % 128 == 0)
+    PAGE = int(os.environ.get("QSERVE_BENCH_PAGE", "128"))
+
+    args = model_args(name, precision)
+    max_pages_per_seq = -(-(ctx + steps + warmup + PAGE) // PAGE)
+    num_pages = B * max_pages_per_seq + 8
+
+    t0 = time.time()
+    params = llama.random_quantized_params(jax.random.PRNGKey(0), args)
+    kv = kvc.create_kv_cache(
+        args.num_layers, num_pages, args.num_kv_heads, PAGE, args.head_dim,
+        args.quant.kv_bits,
+    )
+    jax.block_until_ready(params.layers)
+    build_s = time.time() - t0
+
+    rng = np.random.default_rng(0)
+    bt = np.arange(B * max_pages_per_seq, dtype=np.int32).reshape(B, max_pages_per_seq)
+    bt = jnp.asarray(bt)
+    tok = jnp.asarray(rng.integers(0, args.vocab_size, B), jnp.int32)
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("margs",), donate_argnames=("kv",))
+    def decode_step(params, kv, tok, bt, ctx_lens, *, margs):
+        logits, kv = llama.decode(params, kv, tok, bt, ctx_lens, margs)
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32), kv
+
+    # NOTE: on the tunneled axon backend block_until_ready() is a no-op; the
+    # only reliable sync is fetching data. Measure two chained runs of
+    # different lengths and difference them to cancel the constant
+    # dispatch/fetch overhead.
+    def run_chain(n, ctx_start, tok):
+        nonlocal kv
+        t0 = time.time()
+        for i in range(n):
+            ctx_lens = jnp.full((B,), ctx_start + i, jnp.int32)
+            tok, kv = decode_step(params, kv, tok, bt, ctx_lens, margs=args)
+        np.asarray(tok)  # force execution of the whole chain
+        return time.time() - t0, tok
+
+    t0 = time.time()
+    compile_dt, tok = run_chain(warmup, ctx, tok)
+    compile_s = time.time() - t0
+
+    n1 = max(2, steps // 4)
+    t_short, tok = run_chain(n1, ctx + warmup, tok)
+    t_long, tok = run_chain(steps, ctx + warmup + n1, tok)
+    dt = max(t_long - t_short, 1e-9)
+    eff_steps = steps - n1
+
+    tok_s = B * eff_steps / dt
+    result = {
+        "metric": f"llama3-{name} {precision} decode throughput (1 chip, "
+                  f"batch {B}, ctx {ctx})",
+        "value": round(tok_s, 1),
+        "unit": "tok/s",
+        "vs_baseline": round(tok_s / BASELINE_TOK_S, 4),
+    }
+    print(json.dumps(result))
+    # diagnostics on stderr so stdout stays one JSON line
+    import sys
+
+    print(
+        f"[bench] build={build_s:.1f}s compile+warmup={compile_s:.1f}s "
+        f"short({n1})={t_short:.2f}s long({steps})={t_long:.2f}s "
+        f"batch={B} step_latency={dt/eff_steps*1000:.2f}ms",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -36,7 +36,9 @@ def prefill_attention(
     """
     fn = _impl("prefill_attention")
     if fn is not None:
-        return fn(q, k, v, segment_ids, sm_scale)
+        out = fn(q, k, v, segment_ids, sm_scale)
+        if out is not None:  # None = config unsupported by the kernel
+            return out
 
     T, Hq, D = q.shape
     Hkv = k.shape[1]
@@ -73,7 +75,9 @@ def paged_decode_attention(
     """Single-token decode attention over the quantized paged KV history."""
     fn = _impl("paged_decode_attention")
     if fn is not None:
-        return fn(q, layer, block_tables, context_lens, kv_bits, sm_scale)
+        out = fn(q, layer, block_tables, context_lens, kv_bits, sm_scale)
+        if out is not None:  # None = config unsupported by the kernel
+            return out
 
     B, Hq, D = q.shape
     ps = layer.page_size

@@ -39,10 +39,11 @@ def register_pallas(name: str):
 
 @functools.cache
 def use_pallas() -> bool:
+    """Dispatch to Pallas kernels? TPU only (or forced via env for tests)."""
     if os.environ.get("QSERVE_TPU_FORCE_XLA", "0") == "1":
         return False
-    if os.environ.get("QSERVE_TPU_INTERPRET", "0") == "1":
-        return True  # pallas kernels run in interpreter mode
+    if os.environ.get("QSERVE_TPU_FORCE_PALLAS", "0") == "1":
+        return True  # e.g. interpret-mode testing on CPU
     try:
         return jax.devices()[0].platform in ("tpu", "axon")
     except Exception:

@@ -1,0 +1,152 @@
+"""Pallas TPU flash attention for packed variable-length prefill (N4 prefill).
+
+Replaces the reference's external flash-attn varlen call
+(modeling/models/llama_w4a8_unpad.py:232-242): a causal, segment-masked
+online-softmax attention over the padding-free packed token stream the
+engine builds (sequences contiguous in T, identified by segment id; 0 =
+padding). GQA handled by folding query groups into the q-head grid axis.
+
+Grid (h, i, j) with the key block j innermost; blocks j > i are never
+fetched (their index map clamps to i, and Pallas skips the re-fetch when the
+block index repeats) and never computed (pl.when) — the block-level causal
+skip that flash-attn gets from its varlen cu_seqlens loop.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from qserve_tpu.kernels.ops import interpret_mode, register_pallas
+
+NEG_INF = -1e30
+
+
+def _flash_kernel(
+    q_ref,  # [1, BT, D]
+    k_ref,  # [1, BK, D]   (kv head of this q head)
+    v_ref,  # [1, BK, D]
+    sq_ref,  # [BT, 1] int32 segment ids (query side)
+    sk_ref,  # [1, BK] int32 segment ids (key side)
+    out_ref,  # [1, BT, D]
+    acc_ref,  # [BT, D] f32
+    m_ref,  # [BT, 1] f32
+    l_ref,  # [BT, 1] f32
+    *,
+    bt: int,
+    bk: int,
+    sm_scale: float,
+    nj: int,
+):
+    i, j = pl.program_id(1), pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    @pl.when(j <= i)
+    def _():
+        q = q_ref[0].astype(jnp.float32)  # [BT, D]
+        k = k_ref[0].astype(jnp.float32)  # [BK, D]
+        s = (
+            jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            * sm_scale
+        )  # [BT, BK]
+
+        q_pos = i * bt + jax.lax.broadcasted_iota(jnp.int32, (bt, bk), 0)
+        k_pos = j * bk + jax.lax.broadcasted_iota(jnp.int32, (bt, bk), 1)
+        seg_q = sq_ref[:]  # [BT, 1]
+        seg_k = sk_ref[:]  # [1, BK]
+        mask = (seg_q == seg_k) & (seg_q > 0) & (q_pos >= k_pos)
+        s = jnp.where(mask, s, NEG_INF)
+
+        m_prev = m_ref[:]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        p = jnp.where(mask, p, 0.0)
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        m_ref[:] = m_new
+        v = v_ref[0].astype(jnp.float32)
+        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    @pl.when(j == nj - 1)
+    def _():
+        l = jnp.maximum(l_ref[:], 1e-30)
+        out_ref[0] = (acc_ref[:] / l).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("sm_scale",))
+def flash_prefill_attention_pallas(
+    q: jax.Array,  # [T, Hq, D]
+    k: jax.Array,  # [T, Hkv, D]
+    v: jax.Array,  # [T, Hkv, D]
+    segment_ids: jax.Array,  # [T] int32, 0 = padding
+    sm_scale: float,
+) -> jax.Array:
+    T, Hq, D = q.shape
+    Hkv = k.shape[1]
+    rep = Hq // Hkv
+    bt = bk = min(T, 256)
+    nT = pl.cdiv(T, bt)
+
+    qt = jnp.swapaxes(q, 0, 1)  # [Hq, T, D]
+    kt = jnp.swapaxes(k, 0, 1)
+    vt = jnp.swapaxes(v, 0, 1)
+    seg_col = segment_ids.reshape(T, 1)
+    seg_row = segment_ids.reshape(1, T)
+
+    def clamp(j, i):
+        return jnp.minimum(j, i)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_kernel, bt=bt, bk=bk, sm_scale=sm_scale, nj=nT
+        ),
+        grid=(Hq, nT, nT),
+        in_specs=[
+            pl.BlockSpec((1, bt, D), lambda h, i, j: (h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, D), lambda h, i, j: (h // rep, clamp(j, i), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, D), lambda h, i, j: (h // rep, clamp(j, i), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, 1), lambda h, i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk), lambda h, i, j: (0, clamp(j, i)),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bt, D), lambda h, i, j: (h, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Hq, T, D), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bt, D), jnp.float32),
+            pltpu.VMEM((bt, 1), jnp.float32),
+            pltpu.VMEM((bt, 1), jnp.float32),
+        ],
+        interpret=interpret_mode(),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * Hq * T * T * D // 2,
+            bytes_accessed=2 * (Hq + 2 * Hkv) * T * D,
+            transcendentals=Hq * T * T // 2,
+        ),
+    )(qt, kt, vt, seg_col, seg_row)
+    return jnp.swapaxes(out, 0, 1)  # [T, Hq, D]
+
+
+@register_pallas("prefill_attention")
+def _prefill_dispatch(q, k, v, segment_ids, sm_scale):
+    T, Hq, D = q.shape
+    if D % 128 != 0 or T % 128 != 0:
+        return None
+    sm = sm_scale if sm_scale is not None else 1.0 / (D ** 0.5)
+    return flash_prefill_attention_pallas(q, k, v, segment_ids, sm)

@@ -50,6 +50,11 @@ class LlamaArgs:
     quant: QuantSpec = QuantSpec(4, 8, 4, True, -1)
     scan_layers: bool = True
     logit_dtype: Any = jnp.float32
+    # Tensor parallelism: when tp_size > 1 the step functions run under
+    # shard_map over a mesh axis named `tp_axis`; per-device arrays hold
+    # 1/tp of the heads / MLP channels / vocab columns.
+    tp_size: int = 1
+    tp_axis: str = "tp"
 
     @property
     def q_size(self) -> int:
@@ -62,6 +67,30 @@ class LlamaArgs:
     @property
     def qkv_out(self) -> int:
         return self.q_size + 2 * self.kv_size
+
+    # ---- per-device (TP-local) sizes ----
+    @property
+    def heads_local(self) -> int:
+        assert self.num_heads % self.tp_size == 0
+        return self.num_heads // self.tp_size
+
+    @property
+    def kv_heads_local(self) -> int:
+        assert self.num_kv_heads % self.tp_size == 0
+        return self.num_kv_heads // self.tp_size
+
+    @property
+    def q_size_local(self) -> int:
+        return self.heads_local * self.head_dim
+
+    @property
+    def kv_size_local(self) -> int:
+        return self.kv_heads_local * self.head_dim
+
+    @property
+    def intermediate_local(self) -> int:
+        assert self.intermediate_size % self.tp_size == 0
+        return self.intermediate_size // self.tp_size
 
     @staticmethod
     def from_hf_config(cfg, quant: QuantSpec, scan_layers: bool = True) -> "LlamaArgs":
@@ -133,6 +162,43 @@ def random_float_params(key: jax.Array, args: LlamaArgs, scale: float = 0.02):
     )
 
 
+def random_quantized_params(key: jax.Array, args: LlamaArgs, scale: float = 0.02):
+    """Random weights quantized layer-by-layer (streaming — never holds the
+    full fp32 model; needed to build 8B-class models on a 16GB chip)."""
+    E, I, V = args.hidden_size, args.intermediate_size, args.vocab_size
+    wb, gs = args.quant.weight_bits, args.quant.group_size
+
+    def ql(k, shape):
+        w = jax.random.normal(k, shape, dtype=jnp.float32) * scale
+        out = lin.quantize_linear_from_float(w, wb, gs)
+        return jax.tree.map(lambda x: jax.block_until_ready(x), out)
+
+    keys = jax.random.split(key, args.num_layers + 2)
+    layers = []
+    for li in range(args.num_layers):
+        ks = jax.random.split(keys[li], 4)
+        layers.append(
+            LlamaLayerParams(
+                input_ln=jnp.ones((E,), jnp.float32),
+                qkv=ql(ks[0], (E, args.qkv_out)),
+                o=ql(ks[1], (args.q_size, E)),
+                post_ln=jnp.ones((E,), jnp.float32),
+                gate_up=ql(ks[2], (E, 2 * I)),
+                down=ql(ks[3], (I, E)),
+            )
+        )
+    if args.scan_layers:
+        layers = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+    else:
+        layers = tuple(layers)
+    embed = (jax.random.normal(keys[-2], (V, E), jnp.bfloat16) * scale)
+    lm_head = (jax.random.normal(keys[-1], (E, V), jnp.bfloat16) * scale)
+    return LlamaParams(
+        embed=embed, layers=layers,
+        final_ln=jnp.ones((E,), jnp.float32), lm_head=lm_head,
+    )
+
+
 def quantize_params(float_params: dict, args: LlamaArgs) -> LlamaParams:
     """Quantize float weights into the serving format per args.quant."""
     wb, gs = args.quant.weight_bits, args.quant.group_size
@@ -188,8 +254,9 @@ def _layer_forward(
     qspec = args.quant
     int8_act = qspec.act_bits == 8
     gs = qspec.group_size if qspec.group_size > 0 else 128
+    tp = args.tp_size > 1
 
-    # --- attention block ---
+    # --- attention block (column-parallel qkv, row-parallel o + psum) ---
     if int8_act:
         need_sum = lin.needs_act_sum(lp.qkv)
         q8, s8, a8 = ops.rmsnorm_quant(h, lp.input_ln, args.rms_eps, need_sum)
@@ -198,26 +265,32 @@ def _layer_forward(
         x = ops.rmsnorm(h, lp.input_ln, args.rms_eps)
         qkv = lin.apply_linear(lp.qkv, x, gs)
 
-    q, k, v = jnp.split(qkv, [args.q_size, args.q_size + args.kv_size], axis=-1)
-    q = q.reshape(T, args.num_heads, args.head_dim)
-    k = k.reshape(T, args.num_kv_heads, args.head_dim)
-    v = v.reshape(T, args.num_kv_heads, args.head_dim)
+    q, k, v = jnp.split(
+        qkv,
+        [args.q_size_local, args.q_size_local + args.kv_size_local],
+        axis=-1,
+    )
+    q = q.reshape(T, args.heads_local, args.head_dim)
+    k = k.reshape(T, args.kv_heads_local, args.head_dim)
+    v = v.reshape(T, args.kv_heads_local, args.head_dim)
     q = rope.apply_rope(q, cos, sin)
     k = rope.apply_rope(k, cos, sin)
 
     layer_kv = kvc.append_layer(
         layer_kv, k, v, page_ids, slots, qspec.kv_bits, qspec.kv_zero_point
     )
-    attn = attend(q, k, v, layer_kv)  # [T, Hq, D]
-    attn = attn.reshape(T, args.q_size)
+    attn = attend(q, k, v, layer_kv)  # [T, Hq_local, D]
+    attn = attn.reshape(T, args.q_size_local)
 
     if int8_act:
         o = lin.apply_linear(lp.o, _quant_act(attn, lin.needs_act_sum(lp.o)), gs)
     else:
         o = lin.apply_linear(lp.o, attn, gs)
+    if tp:
+        o = jax.lax.psum(o, args.tp_axis)
     h = h + o.astype(h.dtype)
 
-    # --- MLP block ---
+    # --- MLP block (column-parallel gate_up, row-parallel down + psum) ---
     if int8_act:
         need_sum = lin.needs_act_sum(lp.gate_up)
         g8, gsc, gsum = ops.rmsnorm_quant(h, lp.post_ln, args.rms_eps, need_sum)
@@ -229,6 +302,8 @@ def _layer_forward(
         gu = lin.apply_linear(lp.gate_up, x, gs)
         y = ops.silu_mul(gu)
         d = lin.apply_linear(lp.down, y, gs)
+    if tp:
+        d = jax.lax.psum(d, args.tp_axis)
     h = h + d.astype(h.dtype)
     return h, layer_kv
 
@@ -258,6 +333,14 @@ def _run_layers(params, kv, h, cos, sin, page_ids, slots, args, attend):
         return h, stacked
 
 
+def _lm_head(h: jax.Array, params: LlamaParams, args: LlamaArgs) -> jax.Array:
+    """Vocab-column-parallel lm_head; gathers full logits across TP."""
+    logits = ops.matmul(h, params.lm_head, args.logit_dtype)
+    if args.tp_size > 1:
+        logits = jax.lax.all_gather(logits, args.tp_axis, axis=1, tiled=True)
+    return logits
+
+
 # ---------------------------------------------------------------------------
 # Prefill / decode steps
 # ---------------------------------------------------------------------------
@@ -284,7 +367,7 @@ def prefill(
     h, kv = _run_layers(params, kv, h, cos, sin, page_ids, slots, args, attend)
     h_last = h[last_token_idx]  # [B, E]
     h_last = ops.rmsnorm(h_last, params.final_ln, args.rms_eps)
-    logits = ops.matmul(h_last, params.lm_head, args.logit_dtype)
+    logits = _lm_head(h_last, params, args)
     return logits, kv
 
 
@@ -319,7 +402,7 @@ def decode(
 
     h, kv = _run_layers(params, kv, h, cos, sin, page_ids, slots, args, attend)
     h = ops.rmsnorm(h, params.final_ln, args.rms_eps)
-    logits = ops.matmul(h, params.lm_head, args.logit_dtype)
+    logits = _lm_head(h, params, args)
     return logits, kv
 
 

@@ -95,5 +95,6 @@ class CacheEngine:
     ) -> int:
         dc = head_dim // 2 if cache_config.quant.kv_bits == 4 else head_dim
         ps = cache_config.block_size
-        per_layer = 2 * (ps * num_kv_heads * dc + 2 * ps * num_kv_heads * 4)
+        # data [2, ps, H, Dc] int8 + scales [2, ps, H, 2] f32
+        per_layer = 2 * ps * num_kv_heads * dc + 2 * ps * num_kv_heads * 2 * 4
         return num_layers * per_layer

@@ -86,8 +86,7 @@ class ModelRunner:
         seed: int = 0,
         **kw,
     ) -> "ModelRunner":
-        fp = llama.random_float_params(jax.random.PRNGKey(seed), model_args)
-        params = llama.quantize_params(fp, model_args)
+        params = llama.random_quantized_params(jax.random.PRNGKey(seed), model_args)
         return cls(params, model_args, max_model_len, block_size, **kw)
 
     # ------------------------------------------------------------------

@@ -116,7 +116,8 @@ class TestEngineE2E:
         outputs2, _ = run_to_completion(engine2)
         toks2 = outputs2["r0"].outputs[0]["token_ids"]
         assert toks2[-1] == stop_tok
-        assert len(toks2) == 3
+        # stops at the FIRST occurrence of the stop token
+        assert len(toks2) == toks.index(stop_tok) + 1
         assert outputs2["r0"].outputs[0]["finish_reason"] == "stop"
 
     def test_max_model_len_caps(self):

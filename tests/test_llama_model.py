@@ -184,7 +184,7 @@ class TestDecodeParity:
             np.asarray(l1[0]), np.asarray(l2[0]), rtol=1e-5, atol=1e-5
         )
         np.testing.assert_array_equal(
-            np.asarray(kv1.k_data), np.asarray(kv2.k_data)
+            np.asarray(kv1.data), np.asarray(kv2.data)
         )
 
     def test_decode_equals_growing_prefill(self):

@@ -407,6 +407,70 @@ def decode(
 
 
 # ---------------------------------------------------------------------------
+# Teacher-forced scoring (perplexity evaluation)
+# ---------------------------------------------------------------------------
+
+
+def teacher_forced_nll(
+    params: LlamaParams,
+    token_ids: jax.Array,  # [T] int32, one sequence (0-padded tail)
+    length: jax.Array,  # scalar int32: number of valid tokens
+    args: LlamaArgs,
+    row_chunk: int = 256,
+) -> Tuple[jax.Array, jax.Array]:
+    """Sum of -log p(token[t+1] | tokens[:t+1]) for t+1 < length.
+
+    Runs the full quantized serving forward (same kernels as prefill) without
+    touching a KV cache, then folds the lm_head + cross-entropy over row
+    chunks so the [T, V] logits never materialize at once. Returns
+    (nll_sum f32, count i32). Mirrors the reference's accuracy protocol
+    (README.md:371-389, WikiText-2, eval seqlen 2048 — evaluated externally
+    by DeepCompressor there; in-framework here).
+    """
+    T = token_ids.shape[0]
+    assert T % row_chunk == 0, f"T={T} not a multiple of row_chunk={row_chunk}"
+    positions = jnp.arange(T, dtype=jnp.int32)
+    valid = positions < length
+    segment_ids = jnp.where(valid, 1, 0)
+    # throwaway 1-page cache: every append is routed to page -1 and dropped
+    dummy = kvc.create_kv_cache(
+        args.num_layers, 1, args.kv_heads_local, 2, args.head_dim,
+        args.quant.kv_bits,
+    )
+    page_ids = jnp.full((T,), -1, jnp.int32)
+    slots = jnp.zeros((T,), jnp.int32)
+
+    h = params.embed[token_ids].astype(jnp.bfloat16)
+    cos, sin = rope.rope_cos_sin(positions, args.head_dim, args.rope_theta)
+
+    def attend(q, k, v, _layer_kv):
+        return attention.prefill_attention(q, k, v, segment_ids)
+
+    h, _ = _run_layers(params, dummy, h, cos, sin, page_ids, slots, args, attend)
+    h = ops.rmsnorm(h, params.final_ln, args.rms_eps)
+
+    targets = jnp.roll(token_ids, -1)  # target[t] = token[t+1]
+    pred_mask = (positions + 1 < length).astype(jnp.float32)
+
+    hc = h.reshape(T // row_chunk, row_chunk, args.hidden_size)
+    tc = targets.reshape(T // row_chunk, row_chunk)
+    mc = pred_mask.reshape(T // row_chunk, row_chunk)
+
+    def body(nll, xs):
+        h_c, t_c, m_c = xs
+        logits = ops.matmul(h_c, params.lm_head, jnp.float32)
+        if args.tp_size > 1:
+            logits = jax.lax.all_gather(logits, args.tp_axis, axis=1, tiled=True)
+        lse = jax.nn.logsumexp(logits, axis=-1)
+        tl = jnp.take_along_axis(logits, t_c[:, None], axis=-1)[:, 0]
+        return nll + jnp.sum((lse - tl) * m_c), None
+
+    nll, _ = jax.lax.scan(body, jnp.float32(0.0), (hc, tc, mc))
+    count = jnp.maximum(length - 1, 0)
+    return nll, count
+
+
+# ---------------------------------------------------------------------------
 # Float reference forward (for parity tests; no cache, full logits)
 # ---------------------------------------------------------------------------
 

@@ -4,19 +4,25 @@ TPU-native equivalents of the reference CUDA extensions
 qgemm_w4a8_per_chn / qgemm_w4a8_per_group / qgemm_w8a8
 (kernels/csrc/qgemm/*/gemm_cuda.cu). Same math, different machine:
 
-  * UINT4 weights arrive packed two-per-byte along K in half-tile order
-    (quant/packing.py) so the in-kernel unpack is mask/shift + a contiguous
-    concat — no sublane shuffles (the TPU analog of the reference's
-    AND/shift-only nibble unpack, gemm_cuda.cu:276-301);
+  * UINT4 weights arrive packed two-per-byte along K with a *global
+    half-split* (quant/packing.py): packed row r carries K-row r (low nibble)
+    and K-row r + K/2 (high nibble). The kernel never rebuilds [K, N]; it
+    computes two dots against the nibble planes with contiguous activation
+    slices — the TPU analog of the reference's AND/shift-only unpack
+    (gemm_cuda.cu:276-301), with all mask/shift work in the int8 domain on
+    the VPU (no widening, no sublane shuffles);
   * the MXU does int8 x int8 -> int32 via dot_general(preferred int32),
     replacing mma.sync.m16n8k32.s8 (gemm_cuda.cu:130-146);
   * per-channel epilogue is the subtraction-free zero correction
     out = psum*s1*a_scale - s1_szero*a_sum (gemm_cuda.cu:564-593);
-  * per-group level-2 dequant (w_i8 = q*s2 + z2, int8 lattice) runs on the
-    VPU between unpack and the MXU dot (per_group/gemm_cuda.cu:271-326);
-  * K is the innermost grid dim with an int32 VMEM accumulator, giving the
-    double-buffered HBM->VMEM weight pipeline the reference builds by hand
-    with cp.async stages (gemm_cuda.cu:403-417).
+  * per-group level-2 dequant becomes *group-partial accumulation*:
+    sum_k a_k (q_k s2_g + z2_g) = sum_g [ s2_g dot(a_g, q_g) + z2_g asum_g ]
+    — the s2/z2 ladder folds in as per-group int32 rescales of MXU partials
+    instead of per-element weight fixup (per_group/gemm_cuda.cu:271-326);
+  * the full activation row block [bm, K] stays resident in VMEM across the
+    K grid (decode M is small), so each grid step issues ONE large weight DMA
+    (~1MB) — the double-buffered HBM->VMEM weight pipeline the reference
+    builds by hand with cp.async stages (gemm_cuda.cu:403-417).
 """
 
 from __future__ import annotations
@@ -30,25 +36,35 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from qserve_tpu.kernels.ops import interpret_mode, register_pallas
-from qserve_tpu.quant.packing import PACK_TILE
+from qserve_tpu.quant.packing import unpack_w4_nibbles
 
 
-def _unpack_block(w_packed_i32: jax.Array) -> jax.Array:
-    """[bk/2, bn] int32 -> [bk, bn] int8 (values 0..15), half-tile order."""
-    lo = (w_packed_i32 & 0xF).astype(jnp.int8)
-    hi = ((w_packed_i32 >> 4) & 0xF).astype(jnp.int8)
-    return jnp.concatenate([lo, hi], axis=0)
+def _largest_divisor(n: int, cap: int, multiple: int = 1) -> int:
+    """Largest d <= cap with n % d == 0 and d % multiple == 0 (or n itself)."""
+    best = None
+    for d in range(min(cap, n), 0, -1):
+        if n % d == 0 and d % multiple == 0:
+            best = d
+            break
+    return best if best is not None else n
 
-
-def _pick_bk(K: int) -> int:
-    return PACK_TILE if K % PACK_TILE == 0 else K
-
-
-def _pick(m: int, cands) -> int:
-    for c in cands:
-        if m % c == 0:
+def _pick_bn(N: int) -> int:
+    for c in (512, 256, 128):
+        if N % c == 0:
             return c
-    return m
+    return N
+
+
+def _pick_bm(M: int, K: int) -> int:
+    # keep the resident A block [bm, K] int8 under ~4MB
+    cap = max(32, (4 << 20) // max(K, 1))
+    return M if M <= cap else _largest_divisor(M, cap, 1)
+
+
+def _pick_bk2(K2: int, bn: int, multiple: int = 1) -> int:
+    # ~1MB weight DMA per grid step
+    target = max(128, (1 << 20) // bn)
+    return _largest_divisor(K2, target, multiple)
 
 
 # ---------------------------------------------------------------------------
@@ -57,16 +73,20 @@ def _pick(m: int, cands) -> int:
 
 
 def _w4a8_chn_kernel(a_ref, w_ref, s1_ref, sz_ref, as_ref, asum_ref,
-                     out_ref, acc_ref, *, nk: int):
+                     out_ref, acc_ref, *, nk: int, bk2: int, k_half: int):
     k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    w = _unpack_block(w_ref[:].astype(jnp.int32))  # [bk, bn] int8 0..15
+    lo, hi = unpack_w4_nibbles(w_ref[:], interpret_mode())  # [bk2, bn] int8
+    a_lo = a_ref[:, pl.ds(k * bk2, bk2)]
+    a_hi = a_ref[:, pl.ds(k_half + k * bk2, bk2)]
     acc_ref[:] += jax.lax.dot_general(
-        a_ref[:], w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        a_lo, lo, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    ) + jax.lax.dot_general(
+        a_hi, hi, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
     )
 
     @pl.when(k == nk - 1)
@@ -83,18 +103,19 @@ def w4a8_gemm_per_chn_pallas(
 ):
     M, K = a_i8.shape
     N = qweight_packed.shape[1]
-    bk = _pick_bk(K)
-    bm = _pick(M, (256, 128, 64, 32, 16, 8, 4, 2, 1))
-    bn = _pick(N, (512, 256, 128))
-    nk = K // bk
-    grid = (pl.cdiv(M, bm), pl.cdiv(N, bn), nk)
+    K2 = K // 2
+    bn = _pick_bn(N)
+    bm = _pick_bm(M, K)
+    bk2 = _pick_bk2(K2, bn)
+    nk = K2 // bk2
+    grid = (pl.cdiv(M, bm), N // bn, nk)
 
     return pl.pallas_call(
-        functools.partial(_w4a8_chn_kernel, nk=nk),
+        functools.partial(_w4a8_chn_kernel, nk=nk, bk2=bk2, k_half=K2),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((bm, bk), lambda m, n, k: (m, k), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bk // 2, bn), lambda m, n, k: (k, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, K), lambda m, n, k: (m, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk2, bn), lambda m, n, k: (k, n), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bn), lambda m, n, k: (0, n), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bn), lambda m, n, k: (0, n), memory_space=pltpu.VMEM),
             pl.BlockSpec((bm, 1), lambda m, n, k: (m, 0), memory_space=pltpu.VMEM),
@@ -105,6 +126,9 @@ def w4a8_gemm_per_chn_pallas(
         out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
         interpret=interpret_mode(),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * M * N * K,
             bytes_accessed=M * K + K * N // 2 + M * N * 2,
@@ -120,29 +144,42 @@ def _w4a8_chn_dispatch(a_i8, a_scale, a_sum, qw, s1, sz, out_dtype):
 
 
 # ---------------------------------------------------------------------------
-# N2: W4A8 per-group (two-level progressive dequant)
+# N2: W4A8 per-group (two-level progressive dequant via group partials)
 # ---------------------------------------------------------------------------
 
 
 def _w4a8_grp_kernel(a_ref, w_ref, s2s_ref, s2z_ref, s1_ref, as_ref,
-                     out_ref, acc_ref, *, nk: int, bk: int, group: int):
+                     out_ref, acc_ref, *, nk: int, bk2: int, k_half: int,
+                     group: int):
     k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    w_u4 = _unpack_block(w_ref[:].astype(jnp.int32)).astype(jnp.int32)  # [bk,bn]
-    gpb = bk // group  # groups in this K block
-    bn = w_u4.shape[1]
-    # level-2: w_i8 = q*s2 + z2 on the int8 lattice (VPU)
-    s2s = (s2s_ref[pl.ds(k * gpb, gpb), :].astype(jnp.int32)) & 0xFF
-    s2z = s2z_ref[pl.ds(k * gpb, gpb), :].astype(jnp.int32)
-    wg = w_u4.reshape(gpb, group, bn)
-    w_i8 = (wg * s2s[:, None, :] + s2z[:, None, :]).reshape(bk, bn).astype(jnp.int8)
-    acc_ref[:] += jax.lax.dot_general(
-        a_ref[:], w_i8, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
-    )
+    gpb = bk2 // group  # whole groups per nibble plane of this block
+    lo, hi = unpack_w4_nibbles(w_ref[:], interpret_mode())  # [bk2, bn] int8
+    bn = lo.shape[1]
+    bm = a_ref.shape[0]
+
+    def plane(a_start, w_plane, s2_row0):
+        # sum_g s2[g] * dot(a_g, q_g) + z2[g] * rowsum(a_g)
+        acc = jnp.zeros(acc_ref.shape, jnp.int32)
+        for gi in range(gpb):  # static unroll: gpb is small (bk2/group)
+            a_g = a_ref[:, pl.ds(a_start + gi * group, group)]
+            q_g = w_plane[gi * group : (gi + 1) * group, :]
+            dot_g = jax.lax.dot_general(
+                a_g, q_g, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )  # [bm, bn]
+            asum_g = jnp.sum(a_g.astype(jnp.int32), axis=1, keepdims=True)
+            s2 = s2s_ref[pl.ds(s2_row0 + gi, 1), :].astype(jnp.int32) & 0xFF
+            z2 = s2z_ref[pl.ds(s2_row0 + gi, 1), :].astype(jnp.int32)
+            acc += dot_g * s2 + asum_g * z2
+        return acc
+
+    acc_ref[:] += plane(k * bk2, lo, k * gpb)
+    acc_ref[:] += plane(k_half + k * bk2, hi, k_half // group + k * gpb)
 
     @pl.when(k == nk - 1)
     def _():
@@ -157,19 +194,22 @@ def w4a8_gemm_per_group_pallas(
 ):
     M, K = a_i8.shape
     N = qweight_packed.shape[1]
+    K2 = K // 2
     G = K // group_size
-    bk = _pick_bk(K)
-    bm = _pick(M, (256, 128, 64, 32, 16, 8, 4, 2, 1))
-    bn = _pick(N, (512, 256, 128))
-    nk = K // bk
-    grid = (pl.cdiv(M, bm), pl.cdiv(N, bn), nk)
+    assert K2 % group_size == 0, "need K/2 divisible by group size"
+    bn = _pick_bn(N)
+    bm = _pick_bm(M, K)
+    bk2 = _pick_bk2(K2, bn, multiple=group_size)
+    nk = K2 // bk2
+    grid = (pl.cdiv(M, bm), N // bn, nk)
 
     return pl.pallas_call(
-        functools.partial(_w4a8_grp_kernel, nk=nk, bk=bk, group=group_size),
+        functools.partial(_w4a8_grp_kernel, nk=nk, bk2=bk2, k_half=K2,
+                          group=group_size),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((bm, bk), lambda m, n, k: (m, k), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bk // 2, bn), lambda m, n, k: (k, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, K), lambda m, n, k: (m, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk2, bn), lambda m, n, k: (k, n), memory_space=pltpu.VMEM),
             # full K/G rows of the group scales for this N tile
             pl.BlockSpec((G, bn), lambda m, n, k: (0, n), memory_space=pltpu.VMEM),
             pl.BlockSpec((G, bn), lambda m, n, k: (0, n), memory_space=pltpu.VMEM),
@@ -181,6 +221,9 @@ def w4a8_gemm_per_group_pallas(
         out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
         interpret=interpret_mode(),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * M * N * K,
             bytes_accessed=M * K + K * N // 2 + 2 * G * N + M * N * 2,
@@ -202,7 +245,8 @@ def _w4a8_grp_dispatch(a_i8, a_scale, qw, s2s, s2z, s1, group_size, out_dtype):
 # ---------------------------------------------------------------------------
 
 
-def _w8a8_kernel(a_ref, w_ref, ws_ref, as_ref, out_ref, acc_ref, *, nk: int):
+def _w8a8_kernel(a_ref, w_ref, ws_ref, as_ref, out_ref, acc_ref,
+                 *, nk: int, bk: int):
     k = pl.program_id(2)
 
     @pl.when(k == 0)
@@ -210,7 +254,7 @@ def _w8a8_kernel(a_ref, w_ref, ws_ref, as_ref, out_ref, acc_ref, *, nk: int):
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     acc_ref[:] += jax.lax.dot_general(
-        a_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
+        a_ref[:, pl.ds(k * bk, bk)], w_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
 
@@ -224,17 +268,17 @@ def _w8a8_kernel(a_ref, w_ref, ws_ref, as_ref, out_ref, acc_ref, *, nk: int):
 def w8a8_gemm_pallas(a_i8, a_scale, qweight, w_scale, out_dtype=jnp.bfloat16):
     M, K = a_i8.shape
     N = qweight.shape[1]
-    bk = _pick(K, (512, 256, 128))
-    bm = _pick(M, (256, 128, 64, 32, 16, 8, 4, 2, 1))
-    bn = _pick(N, (512, 256, 128))
-    nk = pl.cdiv(K, bk)
-    grid = (pl.cdiv(M, bm), pl.cdiv(N, bn), nk)
+    bn = _pick_bn(N)
+    bm = _pick_bm(M, K)
+    bk = _pick_bk2(K, bn)
+    nk = K // bk
+    grid = (pl.cdiv(M, bm), N // bn, nk)
 
     return pl.pallas_call(
-        functools.partial(_w8a8_kernel, nk=nk),
+        functools.partial(_w8a8_kernel, nk=nk, bk=bk),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((bm, bk), lambda m, n, k: (m, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, K), lambda m, n, k: (m, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bk, bn), lambda m, n, k: (k, n), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bn), lambda m, n, k: (0, n), memory_space=pltpu.VMEM),
             pl.BlockSpec((bm, 1), lambda m, n, k: (m, 0), memory_space=pltpu.VMEM),
@@ -244,6 +288,9 @@ def w8a8_gemm_pallas(a_i8, a_scale, qweight, w_scale, out_dtype=jnp.bfloat16):
         out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
         interpret=interpret_mode(),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * M * N * K,
             bytes_accessed=M * K + K * N + M * N * 2,

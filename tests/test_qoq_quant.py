@@ -146,17 +146,17 @@ class TestPacking:
         out = packing.unpack_w4(packing.pack_w4(q))
         np.testing.assert_array_equal(np.asarray(out), np.asarray(q))
 
-    def test_block_unpack_matches(self):
-        """Kernel-side per-tile unpack must agree with the full unpack."""
-        tile = packing.PACK_TILE
-        q = jax.random.randint(jax.random.PRNGKey(15), (2 * tile, 128), 0, 16, jnp.int8)
+    def test_nibble_planes_match(self):
+        """Kernel-side int8-domain nibble split == the two K halves."""
+        K = 1024
+        q = jax.random.randint(jax.random.PRNGKey(15), (K, 128), 0, 16, jnp.int8)
         packed = packing.pack_w4(q)
-        for t in range(2):
-            blk = packed[t * tile // 2 : (t + 1) * tile // 2]
-            out = packing.unpack_kv4 if False else packing.unpack_w4_block(blk)
-            np.testing.assert_array_equal(
-                np.asarray(out), np.asarray(q[t * tile : (t + 1) * tile])
-            )
+        # interpret=True: the compiled path's pltpu.bitcast is TPU-only; its
+        # parity with this path is covered by the on-TPU GEMM kernels
+        lo, hi = packing.unpack_w4_nibbles(packed, interpret=True)
+        np.testing.assert_array_equal(np.asarray(lo), np.asarray(q[: K // 2]))
+        np.testing.assert_array_equal(np.asarray(hi), np.asarray(q[K // 2 :]))
+        assert lo.dtype == jnp.int8 and hi.dtype == jnp.int8
 
     def test_kv4_roundtrip(self):
         q = jax.random.randint(jax.random.PRNGKey(16), (3, 5, 128), 0, 16, jnp.int8)

@@ -6,23 +6,27 @@ TPU-native replacement for the reference's pointer-indexed KVBlockArray
 never device pointers.
 
 Layout (stacked on a leading layer axis for lax.scan):
-  data   : int8 [L, P, 2, ps_packed, H*D]   axis 2: 0=K 1=V
-           KV4: ps_packed = ps//2 — two UINT4 values pack per byte along the
-           SLOT (sublane) axis, half-split: slot s < ps/2 in the low nibble of
-           row s, slot s >= ps/2 in the high nibble of row s - ps/2.
-           KV8: ps_packed = ps, one byte per value.
-  scales : f32 [L, P, 2, 2*H, ps]           row h = per-slot scales of head h,
-           row H+h = per-slot zeros of head h.
+  data   : int8 [L, P, 2, ps, H*Dc]   axis 2: 0=K 1=V
+           KV4: Dc = D//2 — two UINT4 values pack per byte along HEAD_DIM,
+           half-split per head: dim d < D/2 in the low nibble, d >= D/2 in
+           the high nibble (quant/packing.py pack_kv4).
+           KV8: Dc = D, one byte per value.
+  scales : f32 [L, P, 2, 2*H, ps]     row h = per-slot scales of head h,
+           row H+h = per-slot zeros of head h (slots on the lane axis so a
+           whole page's scales DMA as one 128-lane-aligned block).
 
 Why this shape (vs the reference's inline page-tail scale bytes,
-cache_engine.py:60-66, and vs a naive [P, H, ps, D/2] layout):
-  * the lane (last) dim of every array is a multiple of 128 whenever
-    head_dim is — Mosaic tiling imposes 128-lane alignment on DMA slices;
+cache_engine.py:60-66, and vs packing along the slot axis):
+  * a token's K (or V) occupies ONE contiguous [H*Dc] data row — appends are
+    plain row scatters with no read-modify-write of shared bytes, at decode
+    and prefill alike (the reference quantizes+appends inside its kernels;
+    on TPU a separate scatter step wants token-owned rows);
   * one page's K+V arrive in ONE large DMA (data) + one small DMA (scales);
-  * nibble unpack in-kernel is mask/shift + a sublane concat (same trick as
-    the W4 weight packing); per-head access is a 128-aligned lane slice;
-  * per-slot scale/zero read as [1, ps] row vectors — the decode kernel
-    computes scores as [G, ps] so dequant folds in with zero transposes.
+  * nibble unpack in-kernel is the packed-word mask trick (1 VPU op per
+    4 bytes); per-head access is a lane slice;
+  * the decode kernel computes scores as [G, ps] (slots on lanes), so the
+    per-slot scale/zero read as [1, ps] row vectors — dequant folds in with
+    zero transposes.
 """
 
 from __future__ import annotations
@@ -32,16 +36,16 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from qserve_tpu.quant import qoq
+from qserve_tpu.quant import packing, qoq
 
 
 class KVCache(NamedTuple):
-    data: jax.Array  # int8 [L, P, 2, ps_packed, H*D] (or per-layer, rank 5)
+    data: jax.Array  # int8 [L, P, 2, ps, H*Dc] (or per-layer, rank 5 -> 4)
     scales: jax.Array  # f32 [L, P, 2, 2*H, ps]
 
     @property
     def num_layers(self) -> int:
-        assert self.data.ndim == 6, "stacked cache expected"
+        assert self.data.ndim == 5, "stacked cache expected"
         return self.data.shape[0]
 
     @property
@@ -50,19 +54,15 @@ class KVCache(NamedTuple):
 
     @property
     def page_size(self) -> int:
-        return self.scales.shape[-1]
+        return self.data.shape[-2]
 
     @property
     def num_kv_heads(self) -> int:
         return self.scales.shape[-2] // 2
 
-    @property
-    def kv4(self) -> bool:
-        return self.page_size != self.data.shape[-2]
-
-    @property
-    def head_dim(self) -> int:
-        return self.data.shape[-1] // self.num_kv_heads
+    def head_dim(self, kv_bits: int) -> int:
+        dc = self.data.shape[-1] // self.num_kv_heads
+        return dc * 2 if kv_bits == 4 else dc
 
     def layer(self, i) -> "KVCache":
         return KVCache(self.data[i], self.scales[i])
@@ -77,11 +77,11 @@ def create_kv_cache(
     kv_bits: int = 4,
     scale_dtype=jnp.float32,
 ) -> KVCache:
-    assert page_size % 2 == 0
-    psp = page_size // 2 if kv_bits == 4 else page_size
+    assert head_dim % 2 == 0
+    dc = head_dim // 2 if kv_bits == 4 else head_dim
     return KVCache(
         data=jnp.zeros(
-            (num_layers, num_pages, 2, psp, num_kv_heads * head_dim), jnp.int8
+            (num_layers, num_pages, 2, page_size, num_kv_heads * dc), jnp.int8
         ),
         scales=jnp.zeros(
             (num_layers, num_pages, 2, 2 * num_kv_heads, page_size), scale_dtype
@@ -119,48 +119,32 @@ def append_layer(
 ) -> KVCache:
     """Quantize and scatter T tokens into one layer's pages.
 
+    Every token owns whole bytes (KV4 packs along head_dim), so this is a
+    plain row scatter — no read-modify-write, no two-pass nibble merge.
     Invalid (padding) tokens are routed OUT OF BOUNDS and dropped by scatter
-    mode="drop" — routing them to any real page would race genuine writes
-    (XLA scatter with duplicate indices has unspecified order).
+    mode="drop".
     """
-    T = k_new.shape[0]
+    T, H, D = k_new.shape
     P = layer.data.shape[0]
-    ps = layer.page_size
     kq, ks, kz = quantize_kv_unpacked(k_new, kv_bits, zero_point)
     vq, vs, vz = quantize_kv_unpacked(v_new, kv_bits, zero_point)
-    q = jnp.stack([kq, vq], axis=1).reshape(T, 2, -1)  # [T, 2, H*D] int32
-    valid = page_ids >= 0
-
-    if kv_bits == 8:
-        safe_pages = jnp.where(valid, page_ids, P)
-        data = layer.data.at[safe_pages, :, slots].set(
-            q.astype(jnp.uint8).astype(jnp.int8), mode="drop"
-        )
+    q = jnp.stack([kq, vq], axis=1)  # [T, 2, H, D] int32
+    if kv_bits == 4:
+        q = packing.pack_kv4(q)  # [T, 2, H, D/2], nibbles in int8 carrier
+        rows = q.reshape(T, 2, -1).astype(jnp.uint8).astype(jnp.int8)
     else:
-        # KV4: read-modify-write the shared byte. Two sequential passes (low
-        # nibbles then high nibbles) so a prefill batch writing both halves
-        # of the same byte never collides within one scatter.
-        ps2 = ps // 2
-        rows = slots % ps2
-        is_hi = slots >= ps2
-        data = layer.data
+        # KV8 stores u-128 so the decode kernel's s8 MXU dot consumes it
+        # directly; the +128 folds into the zero term (kz + 128*ks)
+        rows = (q - 128).reshape(T, 2, -1).astype(jnp.int8)
 
-        def rmw(data, sel, shift, keep_mask):
-            pages_sel = jnp.where(valid & sel, page_ids, P)
-            gather_pages = jnp.where(valid & sel, page_ids, 0)
-            old = data[gather_pages, :, rows].astype(jnp.int32) & 0xFF
-            newbyte = (old & keep_mask) | (q << shift)
-            newbyte = newbyte.astype(jnp.uint8).astype(jnp.int8)
-            return data.at[pages_sel, :, rows].set(newbyte, mode="drop")
+    valid = page_ids >= 0
+    safe_pages = jnp.where(valid, page_ids, P)
+    data = layer.data.at[safe_pages, :, slots, :].set(rows, mode="drop")
 
-        data = rmw(data, ~is_hi, 0, 0xF0)
-        data = rmw(data, is_hi, 4, 0x0F)
-
-    # scales: [P, 2, 2H, ps]; token writes column `slot` of rows [h] and [H+h]
+    # scales: [T, 2, 2H] -> lane position `slot` of (page, :, :)
     sc = jnp.stack(
         [jnp.concatenate([ks, kz], -1), jnp.concatenate([vs, vz], -1)], axis=1
-    )  # [T, 2, 2H]
-    safe_pages = jnp.where(valid, page_ids, P)
+    )
     scales = layer.scales.at[safe_pages, :, :, slots].set(
         sc.astype(layer.scales.dtype), mode="drop"
     )
@@ -179,14 +163,19 @@ def gather_dequant_layer(
     B, maxP = block_tables.shape
     ps = layer.page_size
     H = layer.num_kv_heads
-    D = layer.head_dim
+    D = layer.head_dim(kv_bits)
+    dc = layer.data.shape[-1] // H
 
-    d = layer.data[block_tables].astype(jnp.int32) & 0xFF  # [B,maxP,2,psp,HD]
+    d = layer.data[block_tables].astype(jnp.int32)  # [B,maxP,2,ps,H*Dc]
+    d = d.reshape(B, maxP, 2, ps, H, dc)
     if kv_bits == 4:
+        d = d & 0xFF
         lo = d & 0xF
         hi = (d >> 4) & 0xF
-        d = jnp.concatenate([lo, hi], axis=-2)  # [B,maxP,2,ps,HD]
-    x = d.astype(jnp.float32).reshape(B, maxP, 2, ps, H, D)
+        d = jnp.concatenate([lo, hi], axis=-1)  # [B,maxP,2,ps,H,D]
+    else:
+        d = d + 128  # stored as u-128 (see append_layer)
+    x = d.astype(jnp.float32)
 
     s = layer.scales[block_tables]  # [B,maxP,2,2H,ps]
     sc = jnp.swapaxes(s[..., :H, :], -1, -2)[..., None]  # [B,maxP,2,ps,H,1]

@@ -2,28 +2,36 @@
 
 TPU-native replacement for the reference's TRT-LLM-derived MMHA kernel
 (decoderMaskedMultiheadAttentionTemplate.hpp): one pass over each sequence's
-quantized paged KV history with in-register dequant, fp32 online softmax,
-and V accumulation. Differences by design:
+quantized paged KV history with fused dequant, fp32 online softmax, and V
+accumulation. Differences by design:
 
   * KV pages are gathered by *array index* from the block table (scalar-
     prefetched into SMEM), not via raw device pointers (KVBlockArray);
   * the current step's K/V are appended by a separate scatter op before the
     kernel runs (TPU favors this split over the reference's in-kernel append,
     Template.hpp:1033-1349);
-  * the grid iterates over the batch; K and V of one page arrive in ONE
-    large DMA (data) + one small DMA (scales), double-buffered across the
-    page loop — the TPU analog of the reference's K_LOOP_UNROLL/cp.async
-    scale preloading (Template.hpp:918-953);
-  * scores are computed as [G, ps] (slots on lanes) so the per-slot
-    scale/zero dequant folds in as row-vector multiply-adds — the kernel
-    contains zero transposes:
-        scores = (q @ k_u.T) * ks + (q·1) * kz
-        out   += (p * vs) @ v_u + rowsum(p * vz)
-    (the subtraction-free dequant-fold, mirroring the reference's
-    progressive-dequant philosophy on MXU/VPU terms).
+  * the grid is (batch,) with megacore batch parallelism; K and V of one page
+    arrive in ONE large DMA (data) + one small DMA (scales), double-buffered
+    across the page loop — the TPU analog of K_LOOP_UNROLL/cp.async scale
+    preloading (Template.hpp:918-953);
+  * KV4 nibbles unpack with the packed-word mask trick (the reference's
+    `w & 0x0F0F0F0F` LOP3 dequant, Utils.h:1943-1953, on VPU terms:
+    pltpu.bitcast to int32, one mask op per 4 bytes);
+  * ALL kv heads are processed by single MXU ops via a block-diagonal query
+    matrix: Q_blk [H*G, H*Dc] holds head h's queries in lane block h, so
+      scores = Q_blk(int8) @ k_plane^T   -- one s8xs8 MXU op per nibble plane
+    (q is requantized per (head, group) row to int8: same error class as a
+    bf16 cast, and the K plane feeds the MXU straight from the nibble unpack
+    with NO int8->float conversion — the decode analog of the W4A8 GEMM's
+    progressive dequant);
+  * per-slot scale/zero fold in as row-vector multiply-adds on the [H*G, ps]
+    score block:  s = (qk_i32 * qscale_row) * ks + qsum_row * kz,
+    and the V side runs in bf16:  pv_full = (p * vs) @ v_plane, with the
+    per-head diagonal blocks extracted by masked adds (the only cross-head
+    waste; the MXU was idle regardless).
 
-Constraints for this kernel (dispatcher falls back to XLA otherwise):
-page_size multiple of 128 and head_dim multiple of 128 (lane alignment).
+Constraints (dispatcher falls back to XLA otherwise): page_size % 128 == 0
+and head_dim % 128 == 0.
 """
 
 from __future__ import annotations
@@ -37,7 +45,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 from qserve_tpu.kernels.ops import interpret_mode, register_pallas
 
-NEG_INF = -1e30
+NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def _unpack_nibbles(x_i8, interpret: bool):
+    """[S, N] int8 packed -> (lo, hi) [S, N] int8 values 0..15 (per byte)."""
+    if interpret:
+        x = x_i8.astype(jnp.int32)
+        return ((x & 0xF).astype(jnp.int8),
+                ((x >> 4) & 0xF).astype(jnp.int8))
+    x = pltpu.bitcast(x_i8, jnp.int32)
+    lo = pltpu.bitcast(x & 0x0F0F0F0F, jnp.int8)
+    hi = pltpu.bitcast(jax.lax.shift_right_logical(x, 4) & 0x0F0F0F0F, jnp.int8)
+    return lo, hi
 
 
 def _paged_attn_kernel(
@@ -45,14 +65,14 @@ def _paged_attn_kernel(
     bt_ref,  # [B, maxP] int32 (SMEM)
     ctx_ref,  # [B] int32 (SMEM)
     # blocked inputs
-    q_ref,  # [1, H, G, D] f32 (VMEM)
+    q_ref,  # [1, H*G, D] f32 (VMEM)
     # HBM-resident cache
-    data_ref,  # [P, 2, psp, H*D] int8 (ANY)
+    data_ref,  # [P, 2, ps, H*Dc] int8 (ANY)
     scales_ref,  # [P, 2, 2H, ps] f32 (ANY)
     # output
-    out_ref,  # [1, H, G, D] f32 (VMEM)
+    out_ref,  # [1, H*G, D] f32 (VMEM)
     # scratch
-    buf_d,  # [2, 2, psp, H*D] int8
+    buf_d,  # [2, 2, ps, H*Dc] int8
     buf_s,  # [2, 2, 2H, ps] f32
     acc_ref,  # [H*G, D] f32
     m_ref,  # [H*G, 1] f32
@@ -65,14 +85,39 @@ def _paged_attn_kernel(
     D: int,
     kv4: bool,
     sm_scale: float,
+    interpret: bool,
 ):
     b = pl.program_id(0)
     ctx = ctx_ref[b]
     npages = jax.lax.div(ctx + ps - 1, ps)
+    dc = D // 2 if kv4 else D
+    HG = H * G
+    HDc = H * dc
 
     acc_ref[:] = jnp.zeros_like(acc_ref)
     m_ref[:] = jnp.full_like(m_ref, NEG_INF)
     l_ref[:] = jnp.zeros_like(l_ref)
+
+    # ---- one-time per sequence: block-diagonal int8 queries ----
+    q = q_ref[0]  # [HG, D] f32
+    qsum = jnp.sum(q, axis=1, keepdims=True)  # [HG, 1] exact q·1 for the
+    # zero-point term (linear in q, so the unquantized sum is strictly better)
+    row_head = jax.lax.broadcasted_iota(jnp.int32, (HG, HDc), 0) // G
+    col_head = jax.lax.broadcasted_iota(jnp.int32, (HG, HDc), 1) // dc
+    blockmask = (row_head == col_head).astype(jnp.float32)  # [HG, HDc]
+    qscale = jnp.maximum(jnp.max(jnp.abs(q), axis=1, keepdims=True), 1e-6) / 127.0
+
+    def q_blk_int8(half):  # half: q[:, :dc] or q[:, dc:]
+        tiled = jnp.concatenate([half] * H, axis=1)  # [HG, HDc]
+        x = tiled * blockmask / qscale
+        return jnp.round(x).astype(jnp.int8)
+
+    if kv4:
+        qb_lo = q_blk_int8(q[:, : D // 2])
+        qb_hi = q_blk_int8(q[:, D // 2 :])
+    else:
+        qb_lo = q_blk_int8(q)
+        qb_hi = None
 
     def dma(slot, p):
         page = bt_ref[b, p]
@@ -100,63 +145,91 @@ def _paged_attn_kernel(
         dw.wait()
         sw.wait()
 
-        # slot positions of this page (lanes), masked against context length
+        kp = buf_d[slot, 0]  # [ps, HDc] int8
+        vp = buf_d[slot, 1]
+        if kv4:
+            k_lo, k_hi = _unpack_nibbles(kp, interpret)  # int8, no float conv
+            v_lo, v_hi = _unpack_nibbles(vp, interpret)
+            v_lo_bf = v_lo.astype(jnp.bfloat16)
+            v_hi_bf = v_hi.astype(jnp.bfloat16)
+        else:
+            k_lo = kp  # KV8: stored u-128, s8 MXU-ready (append_layer)
+            v_lo_bf = vp.astype(jnp.bfloat16)  # x = u-128, exact in bf16
+            v_hi_bf = None
+
+        # per-head scale rows expanded to the [HG, ps] score block
+        ks = jnp.repeat(buf_s[slot, 0, :H, :], G, axis=0)  # [HG, ps]
+        kz = jnp.repeat(buf_s[slot, 0, H:, :], G, axis=0)
+        vs = jnp.repeat(buf_s[slot, 1, :H, :], G, axis=0)
+        vz = jnp.repeat(buf_s[slot, 1, H:, :], G, axis=0)
+
+        # scores: one s8 x s8 MXU op per nibble plane
+        if kv4:
+            qk = jax.lax.dot_general(
+                qb_lo, k_lo, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ) + jax.lax.dot_general(
+                qb_hi, k_hi, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )  # [HG, ps]
+            qk_f = qk.astype(jnp.float32) * qscale
+            kz_eff = kz
+        else:
+            # KV8 stores x = u - 128; k = u*ks + kz = x*ks + (kz + 128*ks)
+            qk = jax.lax.dot_general(
+                qb_lo, k_lo, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            qk_f = qk.astype(jnp.float32) * qscale
+            kz_eff = kz + 128.0 * ks
+
         pos = p * ps + jax.lax.broadcasted_iota(jnp.int32, (1, ps), 1)
         valid = pos < ctx  # [1, ps]
+        s_gp = (qk_f * ks + qsum * kz_eff) * sm_scale
+        s_gp = jnp.where(valid, s_gp, NEG_INF)
 
-        for h in range(H):  # static unroll over kv heads
-            q_h = q_ref[0, h]  # [G, D] f32
-            qsum = jnp.sum(q_h, axis=1, keepdims=True)  # [G, 1]
+        # online softmax across the whole [HG, ps] block
+        m_prev = m_ref[:]
+        m_new = jnp.maximum(m_prev, jnp.max(s_gp, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p_gp = jnp.exp(s_gp - m_new)
+        p_gp = jnp.where(valid, p_gp, 0.0)
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(p_gp, axis=1, keepdims=True)
+        m_ref[:] = m_new
 
-            def unpack(kv_idx):
-                x = buf_d[slot, kv_idx, :, h * D : (h + 1) * D].astype(jnp.int32)
-                if kv4:
-                    lo = x & 0xF
-                    hi = (x >> 4) & 0xF
-                    x = jnp.concatenate([lo, hi], axis=0)  # [ps, D]
-                else:
-                    x = x & 0xFF
-                return x.astype(jnp.float32)
+        # V: pv_full = (p*vs) @ v_plane -> [HG, HDc]; keep only the diagonal
+        # head blocks (cross-head products are masked away by cheap selects)
+        pvs = (p_gp * vs).astype(jnp.bfloat16)  # [HG, ps]
+        vz_eff = vz if kv4 else vz + 128.0 * vs  # KV8 offset (see above)
+        pvz = jnp.sum(p_gp * vz_eff, axis=1, keepdims=True)  # [HG, 1]
 
-            ks = buf_s[slot, 0, h : h + 1, :]  # [1, ps] scales of head h (K)
-            kz = buf_s[slot, 0, H + h : H + h + 1, :]
-            vs = buf_s[slot, 1, h : h + 1, :]
-            vz = buf_s[slot, 1, H + h : H + h + 1, :]
+        def diag_blocks(pv_full):  # [HG, HDc] f32 -> [HG, dc]
+            out = jnp.zeros((HG, dc), jnp.float32)
+            for h in range(H):
+                sel = (row_head[:, :dc] == h).astype(jnp.float32)
+                out = out + pv_full[:, h * dc : (h + 1) * dc] * sel
+            return out
 
-            k_u = unpack(0)  # [ps, D] unscaled lattice values
-            # scores[g, s] = sm * (q·k_u[s]) * ks[s] + sm * (q·1) * kz[s]
-            qk = jax.lax.dot_general(
-                q_h, k_u, (((1,), (1,)), ((), ())),
+        pv_lo = diag_blocks(jax.lax.dot_general(
+            pvs, v_lo_bf, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ))
+        if kv4:
+            pv_hi = diag_blocks(jax.lax.dot_general(
+                pvs, v_hi_bf, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # [G, ps]
-            s_gp = (qk * ks + qsum * kz) * sm_scale
-            s_gp = jnp.where(valid, s_gp, NEG_INF)
-
-            m_prev = m_ref[h * G : (h + 1) * G, :]  # [G, 1]
-            m_new = jnp.maximum(m_prev, jnp.max(s_gp, axis=1, keepdims=True))
-            alpha = jnp.exp(m_prev - m_new)  # [G, 1]
-            p_gp = jnp.exp(s_gp - m_new)  # [G, ps]
-            p_gp = jnp.where(valid, p_gp, 0.0)
-            l_ref[h * G : (h + 1) * G, :] = l_ref[
-                h * G : (h + 1) * G, :
-            ] * alpha + jnp.sum(p_gp, axis=1, keepdims=True)
-            m_ref[h * G : (h + 1) * G, :] = m_new
-
-            v_u = unpack(1)  # [ps, D]
-            # pv[g, d] = sum_s p[g,s]*(v_u[s,d]*vs[s] + vz[s])
-            pv = jax.lax.dot_general(
-                p_gp * vs, v_u, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) + jnp.sum(p_gp * vz, axis=1, keepdims=True)
-            acc_ref[h * G : (h + 1) * G, :] = (
-                acc_ref[h * G : (h + 1) * G, :] * alpha + pv
-            )
+            ))
+            pv = jnp.concatenate([pv_lo, pv_hi], axis=1)  # [HG, D]
+        else:
+            pv = pv_lo
+        pv = pv + pvz
+        acc_ref[:] = acc_ref[:] * alpha + pv
         return 0
 
     jax.lax.fori_loop(0, npages, body, 0, unroll=False)
 
-    l = jnp.maximum(l_ref[:], 1e-30)  # [H*G, 1]
-    out_ref[0] = (acc_ref[:] / l).reshape(H, G, D)
+    l = jnp.maximum(l_ref[:], 1e-30)  # [HG, 1]
+    out_ref[0] = acc_ref[:] / l
 
 
 def supports(page_size: int, head_dim: int) -> bool:
@@ -166,7 +239,7 @@ def supports(page_size: int, head_dim: int) -> bool:
 @functools.partial(jax.jit, static_argnames=("kv4", "sm_scale"))
 def paged_decode_attention_pallas(
     q: jax.Array,  # [B, Hq, D] (any float dtype)
-    data: jax.Array,  # [P, 2, psp, H*D] int8
+    data: jax.Array,  # [P, 2, ps, H*Dc] int8
     scales: jax.Array,  # [P, 2, 2H, ps] f32
     block_tables: jax.Array,  # [B, maxP] int32
     context_lens: jax.Array,  # [B] int32
@@ -176,24 +249,24 @@ def paged_decode_attention_pallas(
     B, Hq, D = q.shape
     _, _, twoH, ps = scales.shape
     H = twoH // 2
-    psp = data.shape[2]
+    hdc = data.shape[-1]
     G = Hq // H
 
-    qr = q.astype(jnp.float32).reshape(B, H, G, D)
+    qr = q.astype(jnp.float32).reshape(B, H * G, D)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, H, G, D), lambda b, *_: (b, 0, 0, 0),
+            pl.BlockSpec((1, H * G, D), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, H, G, D), lambda b, *_: (b, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, H * G, D), lambda b, *_: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, 2, psp, H * D), jnp.int8),
+            pltpu.VMEM((2, 2, ps, hdc), jnp.int8),
             pltpu.VMEM((2, 2, 2 * H, ps), jnp.float32),
             pltpu.VMEM((H * G, D), jnp.float32),
             pltpu.VMEM((H * G, 1), jnp.float32),
@@ -204,15 +277,19 @@ def paged_decode_attention_pallas(
     maxP = block_tables.shape[1]
     out = pl.pallas_call(
         functools.partial(
-            _paged_attn_kernel, ps=ps, H=H, G=G, D=D, kv4=kv4, sm_scale=sm_scale
+            _paged_attn_kernel, ps=ps, H=H, G=G, D=D, kv4=kv4,
+            sm_scale=sm_scale, interpret=interpret_mode(),
         ),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, H, G, D), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, H * G, D), jnp.float32),
         interpret=interpret_mode(),
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            dimension_semantics=("parallel",),  # megacore over batch
+        ),
         cost_estimate=pl.CostEstimate(
             flops=4 * B * Hq * D * maxP * ps,
-            bytes_accessed=B * maxP * (2 * psp * H * D + 2 * 2 * H * ps * 4),
+            bytes_accessed=B * maxP * (2 * ps * hdc + 2 * 2 * H * ps * 4),
             transcendentals=B * Hq * maxP * ps,
         ),
     )(block_tables, context_lens, qr, data, scales)

@@ -207,9 +207,10 @@ def quantize_params_tp(
 def kv_cache_specs() -> kvc.KVCache:
     """PartitionSpecs for the stacked cache: pages on 'dp', kv heads on 'tp'.
 
-    data [L, P, 2, psp, H*D] (heads are contiguous D-blocks of the lane dim);
-    scales [L, P, 2, 2H, ps] (shard-local row interpretation, written and
-    read only under shard_map, so the global row order never materializes).
+    data [L, P, 2, ps, H*Dc] (heads are contiguous Dc-blocks of the lane dim);
+    scales [L, P, 2, 2H, ps] (shard-local row interpretation — each shard
+    holds its own heads' [scales ++ zeros] rows; contents are written and read
+    only under shard_map, so the global row order never materializes).
     """
     return kvc.KVCache(
         data=P(None, DP, None, None, TP),

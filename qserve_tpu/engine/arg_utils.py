@@ -58,6 +58,10 @@ class EngineArgs:
     random_weights: bool = False
     scan_layers: bool = True
     disable_log_stats: bool = True
+    # VLM
+    run_vlm: bool = False
+    img_per_seq: int = 1
+    omit_vision_tower: bool = False
 
     @staticmethod
     def add_cli_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
@@ -94,6 +98,10 @@ class EngineArgs:
         g("--random-weights", action="store_true",
           help="skip checkpoint loading (synthetic benchmarking)")
         g("--no-scan-layers", dest="scan_layers", action="store_false")
+        g("--run-vlm", action="store_true",
+          help="vision-language model (VILA/LLaVA): vision tower + projector")
+        g("--img-per-seq", type=int, default=1,
+          help="images per request in VLM benchmarks")
         return parser
 
     @classmethod
@@ -158,7 +166,18 @@ class EngineArgs:
          ) = self.create_engine_configs()
         quant = self.quant_spec()
 
-        if self.random_weights:
+        vlm_args = None
+        vlm_params = None
+        if self.run_vlm:
+            if self.random_weights:
+                vlm_args = self._random_vlm_args(quant)
+            else:
+                vlm_args, vlm_params = loader.load_vlm_model(
+                    self.model, quant, self.scan_layers, self.quant_path
+                )
+            args = vlm_args.llm
+            params = None
+        elif self.random_weights:
             cfg = loader.load_hf_config_dict(self.model)
             args = loader.args_from_config_dict(cfg, quant, self.scan_layers)
             params = None
@@ -177,20 +196,57 @@ class EngineArgs:
         try:
             from qserve_tpu.utils.tokenizer import get_tokenizer
 
+            tok_path = self.tokenizer or self.model
+            if self.run_vlm and os.path.isdir(os.path.join(tok_path, "llm")):
+                # VILA keeps the tokenizer under llm/ (reference
+                # llm_engine.py:223-239)
+                tok_path = os.path.join(tok_path, "llm")
             tokenizer = get_tokenizer(
-                self.tokenizer or self.model, self.tokenizer_mode,
-                self.trust_remote_code,
+                tok_path, self.tokenizer_mode, self.trust_remote_code,
             )
         except Exception as e:
             logger.warning("Tokenizer unavailable (%s); token-id-only mode", e)
 
-        worker = Worker.create(
-            args, cache_config, scheduler_config, params=params, seed=self.seed
-        )
+        if self.run_vlm:
+            worker = Worker.create_vlm(
+                vlm_args, cache_config, scheduler_config, params=vlm_params,
+                seed=self.seed,
+            )
+        else:
+            worker = Worker.create(
+                args, cache_config, scheduler_config, params=params,
+                seed=self.seed,
+            )
         return LLMEngine(
             worker, scheduler_config, cache_config, tokenizer=tokenizer,
             log_stats=not self.disable_log_stats,
         )
+
+    def _random_vlm_args(self, quant: QuantSpec):
+        """Random-weight VLM geometry: CLIP-L/14-336-class tower (as the
+        reference's LLaVA models use) + mlp2x_gelu projector over the LLM
+        from --model's config.json."""
+        from qserve_tpu.models import clip, loader, mm_projector, vila
+
+        cfg = loader.load_hf_config_dict(self.model)
+        largs = loader.args_from_config_dict(cfg, quant, self.scan_layers)
+        if os.environ.get("QSERVE_TPU_VISION_PRESET") == "tiny":  # CPU smoke
+            vargs = clip.VisionArgs(
+                hidden_size=64, intermediate_size=128, num_layers=2,
+                num_heads=4, image_size=32, patch_size=8,
+            )
+        else:
+            vargs = clip.VisionArgs(
+                hidden_size=1024, intermediate_size=4096, num_layers=24,
+                num_heads=16, image_size=336, patch_size=14,
+            )
+        pargs = mm_projector.ProjectorArgs(
+            kind="mlp_downsample",  # 24x24 grid -> 144 tokens/image
+            vision_hidden=vargs.hidden_size,
+            llm_hidden=largs.hidden_size,
+            grid=vargs.grid,
+        )
+        return vila.VilaArgs(llm=largs, vision=vargs, projector=pargs)
 
 
 def auto_num_pages(model_args, cache_config: CacheConfig, hbm_fraction: float) -> int:

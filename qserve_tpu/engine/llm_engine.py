@@ -76,25 +76,43 @@ class LLMEngine:
     ) -> None:
         if sampling_params is None:
             sampling_params = SamplingParams()
+        is_vlm_request = bool(multi_modal_data and multi_modal_data.get("images"))
         if prompt_token_ids is None:
             assert self.tokenizer is not None, "no tokenizer: pass prompt_token_ids"
-            prompt_token_ids = self.tokenizer.encode(prompt)
+            if is_vlm_request:
+                from qserve_tpu.models.vila import tokenizer_image_token
+
+                prompt_token_ids = tokenizer_image_token(prompt, self.tokenizer)
+            else:
+                prompt_token_ids = self.tokenizer.encode(prompt)
         if sampling_params.n != 1 or sampling_params.best_of != 1:
             raise NotImplementedError("n>1 / best_of>1 not yet supported")
 
-        extra_slots = 0
-        if multi_modal_data and multi_modal_data.get("num_images"):
-            # VLM prompts grow by (tokens_per_image - 1) slots per image tag
-            from qserve_tpu.utils.constants import LLAVA_TOKENS_PER_IMAGE
+        if is_vlm_request:
+            # expand each image tag to tokens_per_image marker slots and
+            # preprocess the images once, at admission time (the scheduler
+            # then accounts pages/context exactly; reference instead pads
+            # 195 extra block slots per image, sequence.py:167-172)
+            from qserve_tpu.models.vila import expand_multimodal_prompt
+            from qserve_tpu.utils.image_processing import preprocess_images
 
-            extra_slots = (LLAVA_TOKENS_PER_IMAGE - 1) * multi_modal_data["num_images"]
+            runner = self.worker.model_runner
+            vila_args = getattr(runner, "vila_args", None)
+            assert vila_args is not None, "engine was not built with a VLM model"
+            prompt_token_ids = expand_multimodal_prompt(
+                prompt_token_ids, vila_args.tokens_per_image
+            )
+            if "pixel_values" not in multi_modal_data:
+                multi_modal_data = dict(multi_modal_data)
+                multi_modal_data["pixel_values"] = preprocess_images(
+                    multi_modal_data["images"], vila_args.vision.image_size
+                )
 
         seq = Sequence(
             next(self.seq_counter),
             prompt,
             prompt_token_ids,
             self.cache_config.block_size,
-            extra_page_slots=extra_slots,
         )
         group = SequenceGroup(
             request_id, [seq], sampling_params, arrival_time, multi_modal_data

@@ -50,6 +50,9 @@ class LlamaArgs:
     quant: QuantSpec = QuantSpec(4, 8, 4, True, -1)
     scan_layers: bool = True
     logit_dtype: Any = jnp.float32
+    # Sparse MoE (Mixtral): 0 = dense MLP
+    num_experts: int = 0
+    moe_top_k: int = 2
     # Tensor parallelism: when tp_size > 1 the step functions run under
     # shard_map over a mesh axis named `tp_axis`; per-device arrays hold
     # 1/tp of the heads / MLP channels / vocab columns.
@@ -119,6 +122,25 @@ class LlamaLayerParams(NamedTuple):
     post_ln: jax.Array  # [E]
     gate_up: lin.LinearParams  # [E, 2*I]
     down: lin.LinearParams  # [I, E]
+
+
+class MoELayerParams(NamedTuple):
+    """Mixtral-style sparse-MoE decoder layer (reference declared this but
+    never shipped working kernels: mixtral_w4a8_unpad.py:288 raises, the
+    moe_helpers extensions are unreleased — here the MoE path is functional).
+
+    gate_up / down are LinearParams pytrees with a leading [n_experts] axis;
+    the MoE block lax.scans over experts with routing weights masking
+    unrouted tokens (decode is weight-streaming-bound, so computing every
+    resident expert on the small token batch costs no extra wall-clock)."""
+
+    input_ln: jax.Array  # [E]
+    qkv: lin.LinearParams
+    o: lin.LinearParams
+    post_ln: jax.Array  # [E]
+    router: jax.Array  # [E, n_experts] f32
+    gate_up: lin.LinearParams  # stacked [n_exp, E, 2*I]
+    down: lin.LinearParams  # stacked [n_exp, I, E]
 
 
 class LlamaParams(NamedTuple):
@@ -291,7 +313,9 @@ def _layer_forward(
     h = h + o.astype(h.dtype)
 
     # --- MLP block (column-parallel gate_up, row-parallel down + psum) ---
-    if int8_act:
+    if isinstance(lp, MoELayerParams):
+        d = _moe_mlp(lp, h, args, int8_act, gs)
+    elif int8_act:
         need_sum = lin.needs_act_sum(lp.gate_up)
         g8, gsc, gsum = ops.rmsnorm_quant(h, lp.post_ln, args.rms_eps, need_sum)
         gu = lin.apply_linear(lp.gate_up, lin.QuantAct(g8, gsc, gsum), gs)
@@ -306,6 +330,50 @@ def _layer_forward(
         d = jax.lax.psum(d, args.tp_axis)
     h = h + d.astype(h.dtype)
     return h, layer_kv
+
+
+def _moe_mlp(lp: MoELayerParams, h: jax.Array, args: LlamaArgs,
+             int8_act: bool, gs: int) -> jax.Array:
+    """Sparse-MoE MLP: softmax router -> top-k -> expert FFN scan.
+
+    Semantics of the reference's intended MixtralSparseMoeBlock
+    (mixtral_w4a8_unpad.py:236-375: softmax over router logits, top-k with
+    renormalized weights, SwiGLU experts). Every resident expert runs over
+    the token batch with zero routing weight masking unrouted tokens —
+    at decode the step is expert-weight-streaming-bound, so this loses no
+    wall-clock vs ragged dispatch while keeping shapes static for XLA.
+    """
+    T = h.shape[0]
+    x = ops.rmsnorm(h, lp.post_ln, args.rms_eps)
+    router_logits = ops.matmul(x, lp.router.astype(jnp.bfloat16), jnp.float32)
+    probs = jax.nn.softmax(router_logits, axis=-1)  # [T, n_exp]
+    topv, topi = jax.lax.top_k(probs, args.moe_top_k)
+    topv = topv / jnp.sum(topv, axis=-1, keepdims=True)  # [T, k]
+    n_exp = args.num_experts
+    combine = jnp.zeros((T, n_exp), jnp.float32)
+    for k in range(args.moe_top_k):
+        combine += jax.nn.one_hot(topi[:, k], n_exp, dtype=jnp.float32) * topv[:, k : k + 1]
+
+    if int8_act:
+        qx = _quant_act(x, lin.needs_act_sum(lp.gate_up))
+
+    def expert_body(acc, xs):
+        e_gu, e_down, cw = xs  # cw [T]
+        if int8_act:
+            gu = lin.apply_linear(e_gu, qx, gs)
+            y8, ysc, ysum = ops.silu_mul_quant(gu, lin.needs_act_sum(e_down))
+            d = lin.apply_linear(e_down, lin.QuantAct(y8, ysc, ysum), gs)
+        else:
+            gu = lin.apply_linear(e_gu, x, gs)
+            d = lin.apply_linear(e_down, ops.silu_mul(gu), gs)
+        return acc + cw[:, None] * d.astype(jnp.float32), None
+
+    acc, _ = jax.lax.scan(
+        expert_body,
+        jnp.zeros((T, args.hidden_size), jnp.float32),
+        (lp.gate_up, lp.down, combine.T),
+    )
+    return acc
 
 
 def _run_layers(params, kv, h, cos, sin, page_ids, slots, args, attend):
@@ -359,6 +427,25 @@ def prefill(
 ) -> Tuple[jax.Array, kvc.KVCache]:
     """Packed varlen prefill. Returns (logits [B, V], updated kv)."""
     h = params.embed[token_ids].astype(jnp.bfloat16)
+    return prefill_from_hidden(
+        params, kv, h, positions, segment_ids, page_ids, slots,
+        last_token_idx, args,
+    )
+
+
+def prefill_from_hidden(
+    params: LlamaParams,
+    kv: kvc.KVCache,
+    h: jax.Array,  # [T, E] input embeddings (VLM path splices image embeds)
+    positions: jax.Array,
+    segment_ids: jax.Array,
+    page_ids: jax.Array,
+    slots: jax.Array,
+    last_token_idx: jax.Array,
+    args: LlamaArgs,
+) -> Tuple[jax.Array, kvc.KVCache]:
+    """Prefill from pre-built input embeddings (reference: the VLM wrappers
+    call llm.forward(inputs_embeds=...), vila_llama_w8a8_unpad.py:323-365)."""
     cos, sin = rope.rope_cos_sin(positions, args.head_dim, args.rope_theta)
 
     def attend(q, k, v, _layer_kv):
@@ -489,6 +576,20 @@ def reference_forward_float(
         v = jnp.mean(x * x, axis=-1, keepdims=True)
         return x * jax.lax.rsqrt(v + args.rms_eps) * w
 
+    def moe_mlp(x, fl):
+        logits = x @ fl["router"]
+        probs = jax.nn.softmax(logits, axis=-1)
+        topv, topi = jax.lax.top_k(probs, args.moe_top_k)
+        topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
+        out = jnp.zeros_like(x)
+        for e in range(args.num_experts):
+            gu = x @ fl["experts_gate_up"][e]
+            g, u = jnp.split(gu, 2, axis=-1)
+            d = (jax.nn.silu(g) * u) @ fl["experts_down"][e]
+            w = jnp.sum(jnp.where(topi == e, topv, 0.0), axis=-1)
+            out = out + w[:, None] * d
+        return out
+
     for fl in float_params["layers"]:
         x = rms(h, fl["input_ln"])
         qkv = x @ fl["qkv"]
@@ -500,8 +601,11 @@ def reference_forward_float(
         attn = attention.prefill_attention(q, k, v, seg)
         h = h + attn.reshape(T, -1) @ fl["o"]
         x = rms(h, fl["post_ln"])
-        gu = x @ fl["gate_up"]
-        g, u = jnp.split(gu, 2, axis=-1)
-        h = h + (jax.nn.silu(g) * u) @ fl["down"]
+        if args.num_experts > 0:
+            h = h + moe_mlp(x, fl)
+        else:
+            gu = x @ fl["gate_up"]
+            g, u = jnp.split(gu, 2, axis=-1)
+            h = h + (jax.nn.silu(g) * u) @ fl["down"]
     h = rms(h, float_params["final_ln"])
     return h @ float_params["lm_head"]

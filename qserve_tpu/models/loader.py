@@ -34,6 +34,7 @@ LLAMA_ARCHS = {
     "Qwen2ForCausalLM",
     "YiForCausalLM",
 }
+MIXTRAL_ARCHS = {"MixtralForCausalLM"}
 
 
 def load_hf_config_dict(model_dir: str) -> dict:
@@ -119,6 +120,69 @@ def load_float_params_from_hf(model_dir: str, args: llama.LlamaArgs) -> dict:
     )
 
 
+def load_vlm_model(
+    model_dir: str,
+    quant: QuantSpec,
+    scan_layers: bool = True,
+    quant_path: Optional[str] = None,
+):
+    """Load a VILA/LLaVA checkpoint: vision tower + projector + quantized LLM.
+
+    Two on-disk layouts (reference: vila wrappers' init_vlm,
+    vila_llama_w8a8_unpad.py:45-77):
+      * VILA:   <dir>/{llm, vision_tower, mm_projector}/ each HF-style;
+      * LLaVA:  single HF dir whose state dict holds model.mm_projector.* and
+        whose config names the vision tower (must resolve to a local path).
+    Returns (VilaArgs, VilaParams).
+    """
+    from qserve_tpu.models import clip, mm_projector, vila
+
+    cfg = load_hf_config_dict(model_dir)
+    llm_dir = model_dir
+    if os.path.isdir(os.path.join(model_dir, "llm")):
+        llm_dir = os.path.join(model_dir, "llm")
+    largs, lparams = load_model(llm_dir, quant, scan_layers, quant_path)
+
+    # vision tower
+    vt_dir = os.path.join(model_dir, "vision_tower")
+    if not os.path.isdir(vt_dir):
+        vt_name = cfg.get("mm_vision_tower") or cfg.get("vision_tower")
+        assert vt_name and os.path.isdir(vt_name), (
+            f"vision tower not found: {vt_name!r} (needs a local path)"
+        )
+        vt_dir = vt_name
+    vt_cfg = load_hf_config_dict(vt_dir)
+    vt_cfg = vt_cfg.get("vision_config", vt_cfg)
+    vargs = clip.VisionArgs.from_hf_config(vt_cfg)
+    vt_state = dict(hf_model_weights_iterator(vt_dir))
+    vparams = clip.params_from_hf_state(vt_state, vargs)
+
+    # projector
+    proj_type = cfg.get("mm_projector_type", cfg.get("mm_projector", "linear"))
+    if not isinstance(proj_type, str) or os.path.isdir(str(proj_type)):
+        proj_type = "mlp_downsample"
+    pargs = mm_projector.ProjectorArgs(
+        kind=proj_type,
+        vision_hidden=vargs.hidden_size,
+        llm_hidden=largs.hidden_size,
+        grid=vargs.grid,
+    )
+    proj_dir = os.path.join(model_dir, "mm_projector")
+    proj_state = dict(
+        hf_model_weights_iterator(proj_dir if os.path.isdir(proj_dir) else model_dir)
+    )
+    pparams = mm_projector.params_from_hf_state(proj_state, pargs)
+
+    args = vila.VilaArgs(llm=largs, vision=vargs, projector=pargs)
+    params = vila.VilaParams(vision=vparams, projector=pparams, llm=lparams)
+    logger.info(
+        "Loaded VLM: tower %dpx/%d grid %d, projector %s (%d tok/img), LLM %s",
+        vargs.image_size, vargs.patch_size, vargs.grid, proj_type,
+        args.tokens_per_image, quant.precision,
+    )
+    return args, params
+
+
 def load_model(
     model_dir: str,
     quant: QuantSpec,
@@ -128,6 +192,15 @@ def load_model(
     """Returns (args, params). Self-quantizes fp checkpoints at load time."""
     cfg = load_hf_config_dict(model_dir)
     archs = set(cfg.get("architectures", []))
+    if archs & MIXTRAL_ARCHS:
+        from qserve_tpu.models import mixtral
+
+        args = mixtral.args_from_config_dict(cfg, quant, scan_layers)
+        fp = mixtral.load_float_params_from_hf(model_dir, args)
+        params = mixtral.quantize_params(fp, args)
+        logger.info("Self-quantized Mixtral (%d experts) to %s",
+                    args.num_experts, quant.precision)
+        return args, params
     if archs and not (archs & LLAMA_ARCHS):
         raise NotImplementedError(f"unsupported architectures {archs}")
     args = args_from_config_dict(cfg, quant, scan_layers)

@@ -1,0 +1,132 @@
+"""VLM model runner: vision encode + image-spliced prefill.
+
+Reference counterpart: the run_vlm branches of qserve/worker/model_runner.py
+(:133-262 model dispatch, image loading at prompt stage via InputMetadata,
+input_metadata.py:206-234) and the VILA wrappers' multimodal splicing. Here
+prompts arrive already *expanded* (tokens_per_image markers per image, see
+models/vila.py), so this runner only has to (a) encode the step's images and
+(b) hand the flat image embeddings + per-token indices to the jitted
+vlm_prefill. Decode is inherited unchanged — image tokens live in the KV
+cache like any others.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qserve_tpu.kernels import kv_cache as kvc
+from qserve_tpu.layers import sampler as sampler_mod
+from qserve_tpu.logger import init_logger
+from qserve_tpu.models import vila
+from qserve_tpu.sequence import SequenceGroupMetadata
+from qserve_tpu.utils.constants import IMAGE_TOKEN_INDEX
+from qserve_tpu.utils.utils import bucket
+from qserve_tpu.worker.model_runner import ModelRunner
+
+logger = init_logger(__name__)
+
+
+@functools.partial(jax.jit, static_argnames=("args",))
+def _encode_images_step(params, images, *, args):
+    return vila.encode_images(params, images, args)
+
+
+@functools.partial(jax.jit, static_argnames=("args",), donate_argnames=("kv",))
+def _vlm_prefill_step(
+    llm_params, kv, tok, embeds, img_idx, pos, seg, pages, slots, last_idx,
+    temp, topp, topk, key, *, args
+):
+    logits, kv = vila.vlm_prefill(
+        llm_params, kv, tok, embeds, img_idx, pos, seg, pages, slots,
+        last_idx, args,
+    )
+    toks = sampler_mod.sample(logits, temp, topp, topk, key)
+    return toks, kv
+
+
+class VLMModelRunner(ModelRunner):
+    """ModelRunner whose prefill splices vision-tower embeddings."""
+
+    def __init__(self, vila_params: vila.VilaParams, vila_args: vila.VilaArgs,
+                 *args, **kw):
+        super().__init__(vila_params.llm, vila_args.llm, *args, **kw)
+        self.vila_params = vila_params
+        self.vila_args = vila_args
+
+    @classmethod
+    def from_random_vlm(cls, vila_args: vila.VilaArgs, max_model_len: int,
+                        block_size: int, seed: int = 0, **kw):
+        params = vila.random_params(jax.random.PRNGKey(seed), vila_args)
+        return cls(params, vila_args, max_model_len, block_size, **kw)
+
+    # ------------------------------------------------------------------
+    def execute_prefill(
+        self,
+        metadata: List[SequenceGroupMetadata],
+        cache_engine,
+    ) -> List[Tuple[int, int]]:
+        pixel_list = [
+            md.multi_modal_data["pixel_values"]
+            for md in metadata
+            if md.multi_modal_data and md.multi_modal_data.get("pixel_values") is not None
+        ]
+        if not pixel_list:
+            return super().execute_prefill(metadata, cache_engine)
+
+        images = np.concatenate(pixel_list, axis=0)  # [n_img, 3, S, S]
+        n_img = images.shape[0]
+        n_bucket = bucket(n_img, 1, 64)
+        if n_bucket != n_img:
+            pad = np.zeros((n_bucket - n_img, *images.shape[1:]), images.dtype)
+            images = np.concatenate([images, pad], axis=0)
+        embeds = _encode_images_step(
+            self.vila_params, jnp.asarray(images), args=self.vila_args
+        )  # [n_bucket * tpi, E]
+
+        # marshal the packed prompt stream (image markers keep their id)
+        from qserve_tpu import native
+
+        prompts: List[List[int]] = []
+        tables: List[List[int]] = []
+        seq_order: List[int] = []
+        sp_list = []
+        total = 0
+        for md in metadata:
+            for seq_id, data in md.seq_data.items():
+                ids = data.get_token_ids()
+                prompts.append(ids)
+                tables.append(md.block_tables[seq_id])
+                total += len(ids)
+                seq_order.append(seq_id)
+                sp_list.append(md.sampling_params)
+
+        T = bucket(total, 16, self.max_num_batched_tokens * 2)
+        B = bucket(len(seq_order), 1, self.max_num_seqs)
+        tok, pos, sg, pg, sl, ii, li, _ = native.pack_prefill(
+            prompts, tables, self.block_size, T, B,
+            image_token=IMAGE_TOKEN_INDEX,
+        )
+        tpi = self.vila_args.tokens_per_image
+        n_img_tok = sum(p.count(IMAGE_TOKEN_INDEX) for p in prompts)
+        assert n_img_tok == n_img * tpi, (
+            f"image token count {n_img_tok} != {n_img} images x {tpi}"
+        )
+        temp, topp, topk = self._sampling_arrays(sp_list, B)
+
+        toks, cache_engine.cache = _vlm_prefill_step(
+            self.params,
+            cache_engine.cache,
+            jnp.asarray(tok), embeds, jnp.asarray(ii),
+            jnp.asarray(pos), jnp.asarray(sg), jnp.asarray(pg),
+            jnp.asarray(sl), jnp.asarray(li),
+            temp, topp, topk,
+            self._next_key(),
+            args=self.model_args,
+        )
+        out = np.asarray(jax.device_get(toks))
+        return [(sid, int(out[i])) for i, sid in enumerate(seq_order)]

@@ -111,42 +111,27 @@ class ModelRunner:
         cache_engine,
     ) -> List[Tuple[int, int]]:
         """Returns [(seq_id, sampled_token)] in schedule order."""
-        tokens: List[int] = []
-        positions: List[int] = []
-        seg_ids: List[int] = []
-        page_ids: List[int] = []
-        slots: List[int] = []
-        last_idx: List[int] = []
+        from qserve_tpu import native
+
+        prompts: List[List[int]] = []
+        tables: List[List[int]] = []
         seq_order: List[int] = []
         sp_list = []
-
-        seg = 0
+        total = 0
         for md in metadata:
             for seq_id, data in md.seq_data.items():
-                seg += 1
                 ids = data.get_token_ids()
-                table = md.block_tables[seq_id]
-                start = len(tokens)
-                for p, t in enumerate(ids):
-                    tokens.append(t)
-                    positions.append(p)
-                    seg_ids.append(seg)
-                    page_ids.append(table[p // self.block_size])
-                    slots.append(p % self.block_size)
-                last_idx.append(start + len(ids) - 1)
+                prompts.append(ids)
+                tables.append(md.block_tables[seq_id])
+                total += len(ids)
                 seq_order.append(seq_id)
                 sp_list.append(md.sampling_params)
 
-        T = bucket(len(tokens), 16, self.max_num_batched_tokens * 2)
+        T = bucket(total, 16, self.max_num_batched_tokens * 2)
         B = bucket(len(seq_order), 1, self.max_num_seqs)
-        pad_t = T - len(tokens)
-        tok = np.asarray(tokens + [0] * pad_t, np.int32)
-        pos = np.asarray(positions + [0] * pad_t, np.int32)
-        sg = np.asarray(seg_ids + [0] * pad_t, np.int32)
-        pg = np.asarray(page_ids + [-1] * pad_t, np.int32)
-        sl = np.asarray(slots + [0] * pad_t, np.int32)
-        li = np.zeros(B, np.int32)
-        li[: len(last_idx)] = last_idx
+        tok, pos, sg, pg, sl, _, li, _ = native.pack_prefill(
+            prompts, tables, self.block_size, T, B
+        )
         temp, topp, topk = self._sampling_arrays(sp_list, B)
 
         toks, cache_engine.cache = _prefill_step(
@@ -166,6 +151,8 @@ class ModelRunner:
         metadata: List[SequenceGroupMetadata],
         cache_engine,
     ) -> List[Tuple[int, int]]:
+        from qserve_tpu import native
+
         seq_order: List[int] = []
         tokens: List[int] = []
         ctx: List[int] = []
@@ -180,13 +167,9 @@ class ModelRunner:
                 sp_list.append(md.sampling_params)
 
         B = bucket(len(seq_order), 1, self.max_num_seqs)
-        tok = np.zeros(B, np.int32)
-        tok[: len(tokens)] = tokens
-        cl = np.zeros(B, np.int32)
-        cl[: len(ctx)] = ctx
-        bt = np.zeros((B, self.max_pages_per_seq), np.int32)
-        for i, t in enumerate(tables):
-            bt[i, : len(t)] = t
+        tok, cl, bt = native.pack_decode(
+            tokens, ctx, tables, B, self.max_pages_per_seq
+        )
         temp, topp, topk = self._sampling_arrays(sp_list, B)
 
         toks, cache_engine.cache = _decode_step(

@@ -66,20 +66,31 @@ def prefill_attention(
 
 def paged_decode_attention(
     q: jax.Array,  # [B, Hq, D] (RoPE applied, current step)
-    layer: kvc.KVCache,  # one layer's pages (current step's KV already appended)
+    cache: kvc.KVCache,  # FULL stacked cache (appends deferred, see below)
     block_tables: jax.Array,  # [B, maxP] int32
     context_lens: jax.Array,  # [B] int32 (including current token)
+    layer_idx,  # int32 layer index into the stacked cache
+    k_cur: jax.Array,  # [B, Hkv, D] current-step K (RoPE'd, unquantized)
+    v_cur: jax.Array,  # [B, Hkv, D]
     kv_bits: int,
     sm_scale: Optional[float] = None,
 ) -> jax.Array:
-    """Single-token decode attention over the quantized paged KV history."""
+    """Single-token decode attention over the quantized paged KV history.
+
+    The cache holds positions < ctx-1; the current token's K/V are separate
+    inputs and self-attended exactly (the reference MMHA appends + attends
+    in-kernel, Template.hpp:1221-1349 — here appends are batched per step
+    instead, so the big cache arrays see one scatter, not L of them).
+    """
     fn = _impl("paged_decode_attention")
     if fn is not None:
-        out = fn(q, layer, block_tables, context_lens, kv_bits, sm_scale)
+        out = fn(q, cache, block_tables, context_lens, layer_idx,
+                 k_cur, v_cur, kv_bits, sm_scale)
         if out is not None:  # None = config unsupported by the kernel
             return out
 
     B, Hq, D = q.shape
+    layer = cache.layer(layer_idx)
     ps = layer.page_size
     maxP = block_tables.shape[1]
     sm = sm_scale if sm_scale is not None else 1.0 / (D**0.5)
@@ -88,11 +99,15 @@ def paged_decode_attention(
     Hkv = k.shape[2]
     rep = Hq // Hkv
     S = maxP * ps
+    # append the current token as one extra (exact) history column
+    k = jnp.concatenate([k, k_cur.astype(jnp.float32)[:, None]], axis=1)
+    v = jnp.concatenate([v, v_cur.astype(jnp.float32)[:, None]], axis=1)
 
     qf = q.astype(jnp.float32).reshape(B, Hkv, rep, D)
     scores = jnp.einsum("bhrd,bshd->bhrs", qf, k) * sm
-    pos = jax.lax.broadcasted_iota(jnp.int32, (B, S), 1)
-    mask = pos < context_lens[:, None]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (B, S + 1), 1)
+    # history valid below ctx-1; the appended column (index S) is the self
+    mask = (pos < jnp.maximum(context_lens - 1, 0)[:, None]) | (pos == S)
     scores = jnp.where(mask[:, None, None, :], scores, NEG_INF)
     p = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bhrs,bshd->bhrd", p, v)

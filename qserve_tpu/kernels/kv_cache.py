@@ -151,6 +151,46 @@ def append_layer(
     return KVCache(data=data, scales=scales)
 
 
+def append_all_layers(
+    cache: KVCache,
+    k_all: jax.Array,  # [L, T, H, D] fp (already RoPE'd)
+    v_all: jax.Array,  # [L, T, H, D]
+    page_ids: jax.Array,  # [T] int32 (-1 = drop)
+    slots: jax.Array,  # [T] int32
+    kv_bits: int,
+    zero_point: bool,
+) -> KVCache:
+    """One batched scatter appends every layer's tokens (decode defers the
+    per-layer appends and issues this once per step, so the big cache arrays
+    are touched by a single in-place scatter instead of L slice/update
+    round-trips under lax.scan)."""
+    L, T, H, D = k_all.shape
+    P = cache.data.shape[1]
+    kq, ks, kz = quantize_kv_unpacked(k_all, kv_bits, zero_point)
+    vq, vs, vz = quantize_kv_unpacked(v_all, kv_bits, zero_point)
+    q = jnp.stack([kq, vq], axis=2)  # [L, T, 2, H, D] int32
+    if kv_bits == 4:
+        q = packing.pack_kv4(q)
+        rows = q.reshape(L, T, 2, -1).astype(jnp.uint8).astype(jnp.int8)
+    else:
+        rows = (q - 128).reshape(L, T, 2, -1).astype(jnp.int8)
+
+    valid = page_ids >= 0
+    safe_pages = jnp.where(valid, page_ids, P)
+    # non-adjacent advanced indices put the index dim FIRST: values are
+    # [T, L, 2, ...] — move T in front of the per-layer rows
+    data = cache.data.at[:, safe_pages, :, slots, :].set(
+        jnp.swapaxes(rows, 0, 1), mode="drop"
+    )
+    sc = jnp.stack(
+        [jnp.concatenate([ks, kz], -1), jnp.concatenate([vs, vz], -1)], axis=2
+    )  # [L, T, 2, 2H]
+    scales = cache.scales.at[:, safe_pages, :, :, slots].set(
+        jnp.swapaxes(sc, 0, 1).astype(cache.scales.dtype), mode="drop"
+    )
+    return KVCache(data=data, scales=scales)
+
+
 def gather_dequant_layer(
     layer: KVCache,
     block_tables: jax.Array,  # [B, maxP] int32 (pad with 0)

@@ -62,13 +62,16 @@ def _unpack_nibbles(x_i8, interpret: bool):
 
 def _paged_attn_kernel(
     # scalar prefetch
+    li_ref,  # [1] int32 layer index (SMEM)
     bt_ref,  # [B, maxP] int32 (SMEM)
     ctx_ref,  # [B] int32 (SMEM)
     # blocked inputs
     q_ref,  # [1, H*G, D] f32 (VMEM)
-    # HBM-resident cache
-    data_ref,  # [P, 2, ps, H*Dc] int8 (ANY)
-    scales_ref,  # [P, 2, 2H, ps] f32 (ANY)
+    kc_ref,  # [1, H, D] f32 current-step K (VMEM)
+    vc_ref,  # [1, H, D] f32 current-step V (VMEM)
+    # HBM-resident cache (FULL stacked arrays; no per-layer slicing)
+    data_ref,  # [L, P, 2, ps, H*Dc] int8 (ANY)
+    scales_ref,  # [L, P, 2, 2H, ps] f32 (ANY)
     # output
     out_ref,  # [1, H*G, D] f32 (VMEM)
     # scratch
@@ -88,8 +91,13 @@ def _paged_attn_kernel(
     interpret: bool,
 ):
     b = pl.program_id(0)
+    li = li_ref[0]
     ctx = ctx_ref[b]
-    npages = jax.lax.div(ctx + ps - 1, ps)
+    # the CURRENT token's K/V arrive as direct inputs (appends are deferred
+    # and batched; the reference MMHA also self-attends in-kernel,
+    # Template.hpp:1221-1349) — the cache covers positions < ctx-1
+    hist = jnp.maximum(ctx - 1, 0)
+    npages = jax.lax.div(hist + ps - 1, ps)
     dc = D // 2 if kv4 else D
     HG = H * G
     HDc = H * dc
@@ -122,8 +130,12 @@ def _paged_attn_kernel(
     def dma(slot, p):
         page = bt_ref[b, p]
         return (
-            pltpu.make_async_copy(data_ref.at[page], buf_d.at[slot], sems.at[slot, 0]),
-            pltpu.make_async_copy(scales_ref.at[page], buf_s.at[slot], sems.at[slot, 1]),
+            pltpu.make_async_copy(
+                data_ref.at[li, page], buf_d.at[slot], sems.at[slot, 0]
+            ),
+            pltpu.make_async_copy(
+                scales_ref.at[li, page], buf_s.at[slot], sems.at[slot, 1]
+            ),
         )
 
     @pl.when(npages > 0)
@@ -184,7 +196,7 @@ def _paged_attn_kernel(
             kz_eff = kz + 128.0 * ks
 
         pos = p * ps + jax.lax.broadcasted_iota(jnp.int32, (1, ps), 1)
-        valid = pos < ctx  # [1, ps]
+        valid = pos < hist  # [1, ps]; the current token is handled below
         s_gp = (qk_f * ks + qsum * kz_eff) * sm_scale
         s_gp = jnp.where(valid, s_gp, NEG_INF)
 
@@ -228,8 +240,20 @@ def _paged_attn_kernel(
 
     jax.lax.fori_loop(0, npages, body, 0, unroll=False)
 
-    l = jnp.maximum(l_ref[:], 1e-30)  # [HG, 1]
-    out_ref[0] = acc_ref[:] / l
+    # ---- self-attention on the current token (exact, unquantized) ----
+    kc = kc_ref[0]  # [H, D] f32
+    vc = vc_ref[0]
+    kc_rep = jnp.repeat(kc, G, axis=0)  # [HG, D]
+    vc_rep = jnp.repeat(vc, G, axis=0)
+    s_self = jnp.sum(q * kc_rep, axis=1, keepdims=True) * sm_scale  # [HG, 1]
+    m_new = jnp.maximum(m_ref[:], s_self)
+    alpha = jnp.exp(m_ref[:] - m_new)
+    p_self = jnp.exp(s_self - m_new)  # [HG, 1]
+    l = l_ref[:] * alpha + p_self
+    acc = acc_ref[:] * alpha + p_self * vc_rep
+
+    l = jnp.maximum(l, 1e-30)  # [HG, 1]
+    out_ref[0] = acc / l
 
 
 def supports(page_size: int, head_dim: int) -> bool:
@@ -239,15 +263,18 @@ def supports(page_size: int, head_dim: int) -> bool:
 @functools.partial(jax.jit, static_argnames=("kv4", "sm_scale"))
 def paged_decode_attention_pallas(
     q: jax.Array,  # [B, Hq, D] (any float dtype)
-    data: jax.Array,  # [P, 2, ps, H*Dc] int8
-    scales: jax.Array,  # [P, 2, 2H, ps] f32
+    data: jax.Array,  # [L, P, 2, ps, H*Dc] int8 (full stacked cache)
+    scales: jax.Array,  # [L, P, 2, 2H, ps] f32
     block_tables: jax.Array,  # [B, maxP] int32
-    context_lens: jax.Array,  # [B] int32
+    context_lens: jax.Array,  # [B] int32 (incl. current token)
+    layer_idx: jax.Array,  # [] or [1] int32
+    k_cur: jax.Array,  # [B, H, D] current-step K (RoPE'd, unquantized)
+    v_cur: jax.Array,  # [B, H, D]
     kv4: bool,
     sm_scale: float,
 ) -> jax.Array:
     B, Hq, D = q.shape
-    _, _, twoH, ps = scales.shape
+    twoH, ps = scales.shape[-2], scales.shape[-1]
     H = twoH // 2
     hdc = data.shape[-1]
     G = Hq // H
@@ -255,10 +282,14 @@ def paged_decode_attention_pallas(
     qr = q.astype(jnp.float32).reshape(B, H * G, D)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, H * G, D), lambda b, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, D), lambda b, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, D), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -292,18 +323,24 @@ def paged_decode_attention_pallas(
             bytes_accessed=B * maxP * (2 * ps * hdc + 2 * 2 * H * ps * 4),
             transcendentals=B * Hq * maxP * ps,
         ),
-    )(block_tables, context_lens, qr, data, scales)
+    )(
+        jnp.asarray(layer_idx, jnp.int32).reshape(1),
+        block_tables, context_lens, qr,
+        k_cur.astype(jnp.float32), v_cur.astype(jnp.float32),
+        data, scales,
+    )
     return out.reshape(B, Hq, D).astype(q.dtype)
 
 
 @register_pallas("paged_decode_attention")
-def _paged_attn_dispatch(q, layer, block_tables, context_lens, kv_bits, sm_scale):
+def _paged_attn_dispatch(q, cache, block_tables, context_lens, layer_idx,
+                         k_cur, v_cur, kv_bits, sm_scale):
     D = q.shape[-1]
-    ps = layer.page_size
+    ps = cache.page_size
     if not supports(ps, D):
         return None  # dispatcher falls back to XLA
     sm = sm_scale if sm_scale is not None else 1.0 / (D ** 0.5)
     return paged_decode_attention_pallas(
-        q, layer.data, layer.scales, block_tables, context_lens,
-        kv_bits == 4, sm,
+        q, cache.data, cache.scales, block_tables, context_lens,
+        layer_idx, k_cur, v_cur, kv_bits == 4, sm,
     )

@@ -263,15 +263,15 @@ def _quant_act(x: jax.Array, with_sum: bool) -> lin.QuantAct:
 
 def _layer_forward(
     lp: LlamaLayerParams,
-    layer_kv: kvc.KVCache,
+    li: jax.Array,  # int32 layer index
     h: jax.Array,  # [T, E] bf16
     cos: jax.Array,
     sin: jax.Array,
-    page_ids: jax.Array,  # [T]
-    slots: jax.Array,  # [T]
     args: LlamaArgs,
-    attend,  # fn(q [T,Hq,D], k, v, layer_kv_after_append) -> [T,Hq,D]
-) -> Tuple[jax.Array, kvc.KVCache]:
+    attend,  # fn(q [T,Hq,D], k, v, li) -> [T,Hq,D]
+) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
+    """One decoder layer. Returns (h, (k, v)) — KV-cache appends are the
+    caller's job (batched across layers after the layer loop)."""
     T = h.shape[0]
     qspec = args.quant
     int8_act = qspec.act_bits == 8
@@ -298,10 +298,7 @@ def _layer_forward(
     q = rope.apply_rope(q, cos, sin)
     k = rope.apply_rope(k, cos, sin)
 
-    layer_kv = kvc.append_layer(
-        layer_kv, k, v, page_ids, slots, qspec.kv_bits, qspec.kv_zero_point
-    )
-    attn = attend(q, k, v, layer_kv)  # [T, Hq_local, D]
+    attn = attend(q, k, v, li)  # [T, Hq_local, D]
     attn = attn.reshape(T, args.q_size_local)
 
     if int8_act:
@@ -329,7 +326,7 @@ def _layer_forward(
     if tp:
         d = jax.lax.psum(d, args.tp_axis)
     h = h + d.astype(h.dtype)
-    return h, layer_kv
+    return h, (k.astype(jnp.bfloat16), v.astype(jnp.bfloat16))
 
 
 def _moe_mlp(lp: MoELayerParams, h: jax.Array, args: LlamaArgs,
@@ -376,29 +373,29 @@ def _moe_mlp(lp: MoELayerParams, h: jax.Array, args: LlamaArgs,
     return acc
 
 
-def _run_layers(params, kv, h, cos, sin, page_ids, slots, args, attend):
+def _run_layers(params, h, cos, sin, args, attend):
+    """Run all layers; returns (h, (k_all, v_all) stacked [L, T, Hkv, D])."""
     if args.scan_layers:
 
         def body(carry, xs):
-            lp, layer_kv = xs
+            lp, li = xs
             h = carry
-            h, new_kv = _layer_forward(
-                lp, layer_kv, h, cos, sin, page_ids, slots, args, attend
-            )
-            return h, new_kv
+            h, kv_new = _layer_forward(lp, li, h, cos, sin, args, attend)
+            return h, kv_new
 
-        h, new_layers = jax.lax.scan(body, h, (params.layers, kv))
-        return h, new_layers
+        lis = jnp.arange(args.num_layers, dtype=jnp.int32)
+        h, kv_new = jax.lax.scan(body, h, (params.layers, lis))
+        return h, kv_new
     else:
-        new_layers = []
+        ks, vs = [], []
         for li in range(args.num_layers):
             lp = params.layers[li]
-            h, lkv = _layer_forward(
-                lp, kv.layer(li), h, cos, sin, page_ids, slots, args, attend
+            h, (k, v) = _layer_forward(
+                lp, jnp.int32(li), h, cos, sin, args, attend
             )
-            new_layers.append(lkv)
-        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *new_layers)
-        return h, stacked
+            ks.append(k)
+            vs.append(v)
+        return h, (jnp.stack(ks), jnp.stack(vs))
 
 
 def _lm_head(h: jax.Array, params: LlamaParams, args: LlamaArgs) -> jax.Array:
@@ -448,10 +445,14 @@ def prefill_from_hidden(
     call llm.forward(inputs_embeds=...), vila_llama_w8a8_unpad.py:323-365)."""
     cos, sin = rope.rope_cos_sin(positions, args.head_dim, args.rope_theta)
 
-    def attend(q, k, v, _layer_kv):
+    def attend(q, k, v, _li):
         return attention.prefill_attention(q, k, v, segment_ids)
 
-    h, kv = _run_layers(params, kv, h, cos, sin, page_ids, slots, args, attend)
+    h, (k_all, v_all) = _run_layers(params, h, cos, sin, args, attend)
+    kv = kvc.append_all_layers(
+        kv, k_all, v_all, page_ids, slots,
+        args.quant.kv_bits, args.quant.kv_zero_point,
+    )
     h_last = h[last_token_idx]  # [B, E]
     h_last = ops.rmsnorm(h_last, params.final_ln, args.rms_eps)
     logits = _lm_head(h_last, params, args)
@@ -466,7 +467,13 @@ def decode(
     context_lens: jax.Array,  # [B] int32 INCLUDING the current token; 0 = pad row
     args: LlamaArgs,
 ) -> Tuple[jax.Array, kvc.KVCache]:
-    """One decode step for a batch. Returns (logits [B, V], updated kv)."""
+    """One decode step for a batch. Returns (logits [B, V], updated kv).
+
+    The layer loop reads the cache (positions < ctx-1) and self-attends the
+    current token's fresh K/V inside the attention kernel; the appends for
+    all layers batch into ONE scatter afterwards — the stacked cache arrays
+    are never sliced or copied per layer.
+    """
     B = token_ids.shape[0]
     ps = kv.page_size
     positions = context_lens - 1  # [B]
@@ -482,12 +489,16 @@ def decode(
     h = params.embed[token_ids].astype(jnp.bfloat16)
     cos, sin = rope.rope_cos_sin(positions, args.head_dim, args.rope_theta)
 
-    def attend(q, k, v, layer_kv):
+    def attend(q, k, v, li):
         return attention.paged_decode_attention(
-            q, layer_kv, block_tables, context_lens, args.quant.kv_bits
+            q, kv, block_tables, context_lens, li, k, v, args.quant.kv_bits
         )
 
-    h, kv = _run_layers(params, kv, h, cos, sin, page_ids, slots, args, attend)
+    h, (k_all, v_all) = _run_layers(params, h, cos, sin, args, attend)
+    kv = kvc.append_all_layers(
+        kv, k_all, v_all, page_ids, slots,
+        args.quant.kv_bits, args.quant.kv_zero_point,
+    )
     h = ops.rmsnorm(h, params.final_ln, args.rms_eps)
     logits = _lm_head(h, params, args)
     return logits, kv
@@ -519,21 +530,14 @@ def teacher_forced_nll(
     positions = jnp.arange(T, dtype=jnp.int32)
     valid = positions < length
     segment_ids = jnp.where(valid, 1, 0)
-    # throwaway 1-page cache: every append is routed to page -1 and dropped
-    dummy = kvc.create_kv_cache(
-        args.num_layers, 1, args.kv_heads_local, 2, args.head_dim,
-        args.quant.kv_bits,
-    )
-    page_ids = jnp.full((T,), -1, jnp.int32)
-    slots = jnp.zeros((T,), jnp.int32)
 
     h = params.embed[token_ids].astype(jnp.bfloat16)
     cos, sin = rope.rope_cos_sin(positions, args.head_dim, args.rope_theta)
 
-    def attend(q, k, v, _layer_kv):
+    def attend(q, k, v, _li):
         return attention.prefill_attention(q, k, v, segment_ids)
 
-    h, _ = _run_layers(params, dummy, h, cos, sin, page_ids, slots, args, attend)
+    h, _ = _run_layers(params, h, cos, sin, args, attend)
     h = ops.rmsnorm(h, params.final_ln, args.rms_eps)
 
     targets = jnp.roll(token_ids, -1)  # target[t] = token[t+1]

@@ -83,6 +83,9 @@ class BlockSpaceManager:
     def can_allocate(self, seq_group: SequenceGroup) -> AllocStatus:
         seq = seq_group.get_seqs(SequenceStatus.WAITING)[0]
         need = seq.num_required_pages()
+        prefix = getattr(seq_group, "prefix", None)
+        if prefix is not None and prefix.allocated:
+            need -= prefix.get_num_pages()  # shared pages already exist
         if self.sliding_window_pages is not None:
             need = min(need, self.sliding_window_pages)
         free = self.device.get_num_free()
@@ -96,7 +99,21 @@ class BlockSpaceManager:
         waiting = seq_group.get_seqs(SequenceStatus.WAITING)
         seq = waiting[0]
         need = seq.num_required_pages()
-        pages = [self.device.allocate() for _ in range(need)]
+        prefix = getattr(seq_group, "prefix", None)
+        pages: BlockTable = []
+        if prefix is not None and prefix.allocated:
+            # reuse the shared prefix pages (ref-counted; reference
+            # prefix.py + block_manager.py:133-183 semantics)
+            pages.extend(prefix.get_page_numbers())
+            for p in pages:
+                self.device.incref(p)
+            need -= len(pages)
+        pages.extend(self.device.allocate() for _ in range(need))
+        if prefix is not None and not prefix.allocated:
+            head = pages[: prefix.get_num_pages()]
+            prefix.set_page_table(head)
+            for p in head:  # the pool itself holds one reference
+                self.device.incref(p)
         # siblings (best_of > 1) share the prompt pages copy-on-write
         for s in waiting:
             if s.seq_id != seq.seq_id:

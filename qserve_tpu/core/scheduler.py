@@ -77,6 +77,9 @@ class Scheduler:
         self.waiting: Deque[SequenceGroup] = deque()
         self.running: Deque[SequenceGroup] = deque()
         self.swapped: Deque[SequenceGroup] = deque()
+        from qserve_tpu.core.prefix import PrefixPool
+
+        self.prefix_pool = PrefixPool(cache_config.block_size)
 
     # ---- request lifecycle ----
     def add_seq_group(self, seq_group: SequenceGroup) -> None:

@@ -73,6 +73,7 @@ class LLMEngine:
         prompt_token_ids: Optional[List[int]] = None,
         arrival_time: Optional[float] = None,
         multi_modal_data: Optional[dict] = None,
+        prefix_pos: Optional[int] = None,
     ) -> None:
         if sampling_params is None:
             sampling_params = SamplingParams()
@@ -114,8 +115,15 @@ class LLMEngine:
             prompt_token_ids,
             self.cache_config.block_size,
         )
+        prefix = None
+        if prefix_pos is not None:
+            # shared-prompt page reuse (reference llm_engine prefix_pos arg)
+            prefix = self.scheduler.prefix_pool.add_or_get_prefix(
+                prompt_token_ids[:prefix_pos]
+            )
         group = SequenceGroup(
-            request_id, [seq], sampling_params, arrival_time, multi_modal_data
+            request_id, [seq], sampling_params, arrival_time, multi_modal_data,
+            prefix=prefix,
         )
         self._seq_index[seq.seq_id] = (group, seq)
         self.scheduler.add_seq_group(group)
@@ -142,6 +150,9 @@ class LLMEngine:
             for md in metadata:
                 for data in md.seq_data.values():
                     self._num_prompt_tokens += data.get_len()
+            for group in sched.scheduled_seq_groups:
+                if group.prefix is not None:
+                    group.prefix.computed = True
 
         outputs: List[RequestOutput] = []
         touched_groups = []

@@ -152,12 +152,14 @@ class SequenceGroup:
         sampling_params: SamplingParams,
         arrival_time: Optional[float] = None,
         multi_modal_data: Optional[dict] = None,
+        prefix=None,  # core.prefix.Prefix — shared-prompt page reuse
     ) -> None:
         self.request_id = request_id
         self.seqs_dict: Dict[int, Sequence] = {s.seq_id: s for s in seqs}
         self.sampling_params = sampling_params
         self.arrival_time = arrival_time if arrival_time is not None else time.time()
         self.multi_modal_data = multi_modal_data or {}
+        self.prefix = prefix
 
     @property
     def prompt(self) -> Optional[str]:

@@ -151,21 +151,10 @@ def append_layer(
     return KVCache(data=data, scales=scales)
 
 
-def append_all_layers(
-    cache: KVCache,
-    k_all: jax.Array,  # [L, T, H, D] fp (already RoPE'd)
-    v_all: jax.Array,  # [L, T, H, D]
-    page_ids: jax.Array,  # [T] int32 (-1 = drop)
-    slots: jax.Array,  # [T] int32
-    kv_bits: int,
-    zero_point: bool,
-) -> KVCache:
-    """One batched scatter appends every layer's tokens (decode defers the
-    per-layer appends and issues this once per step, so the big cache arrays
-    are touched by a single in-place scatter instead of L slice/update
-    round-trips under lax.scan)."""
-    L, T, H, D = k_all.shape
-    P = cache.data.shape[1]
+def _quantize_rows(k_all, v_all, kv_bits, zero_point):
+    """[L, T, H, D] k/v -> packed data rows [L, T, 2, H*Dc] int8 +
+    scale rows [L, T, 2, 2H] f32."""
+    L, T = k_all.shape[:2]
     kq, ks, kz = quantize_kv_unpacked(k_all, kv_bits, zero_point)
     vq, vs, vz = quantize_kv_unpacked(v_all, kv_bits, zero_point)
     q = jnp.stack([kq, vq], axis=2)  # [L, T, 2, H, D] int32
@@ -174,6 +163,51 @@ def append_all_layers(
         rows = q.reshape(L, T, 2, -1).astype(jnp.uint8).astype(jnp.int8)
     else:
         rows = (q - 128).reshape(L, T, 2, -1).astype(jnp.int8)
+    sc = jnp.stack(
+        [jnp.concatenate([ks, kz], -1), jnp.concatenate([vs, vz], -1)], axis=2
+    )  # [L, T, 2, 2H]
+    return rows, sc
+
+
+# decode steps route through the Pallas in-place kernel below this many
+# token-rows; larger (prefill) batches use the XLA scatter, whose whole-array
+# rewrite amortizes over the prompt
+_INPLACE_MAX_T = 256
+
+
+def append_all_layers(
+    cache: KVCache,
+    k_all: jax.Array,  # [L, T, H, D] fp (already RoPE'd)
+    v_all: jax.Array,  # [L, T, H, D]
+    page_ids: jax.Array,  # [T] int32 (-1 = drop)
+    slots: jax.Array,  # [T] int32
+    kv_bits: int,
+    zero_point: bool,
+    unique_pages: bool = False,
+) -> KVCache:
+    """One batched append of every layer's tokens (decode defers the
+    per-layer appends and issues this once per step). On TPU the decode-sized
+    case runs as a Pallas kernel with input_output_aliases — XLA's scatter
+    rewrites the entire multi-GB cache even when donated.
+
+    unique_pages=True asserts no two valid tokens target the same page (true
+    for decode: every running sequence exclusively owns its last page after
+    copy-on-write) and enables the in-place kernel, whose per-page
+    scale-block read-modify-writes would race on shared pages."""
+    from qserve_tpu.kernels.ops import use_pallas
+
+    L, T, H, D = k_all.shape
+    P = cache.data.shape[1]
+    rows, sc = _quantize_rows(k_all, v_all, kv_bits, zero_point)
+
+    if use_pallas() and unique_pages and T <= _INPLACE_MAX_T:
+        from qserve_tpu.kernels.pallas_kv_append import kv_append_inplace
+
+        data, scales = kv_append_inplace(
+            cache.data, cache.scales, rows, sc.astype(cache.scales.dtype),
+            page_ids, slots,
+        )
+        return KVCache(data=data, scales=scales)
 
     valid = page_ids >= 0
     safe_pages = jnp.where(valid, page_ids, P)
@@ -182,9 +216,6 @@ def append_all_layers(
     data = cache.data.at[:, safe_pages, :, slots, :].set(
         jnp.swapaxes(rows, 0, 1), mode="drop"
     )
-    sc = jnp.stack(
-        [jnp.concatenate([ks, kz], -1), jnp.concatenate([vs, vz], -1)], axis=2
-    )  # [L, T, 2, 2H]
     scales = cache.scales.at[:, safe_pages, :, :, slots].set(
         jnp.swapaxes(sc, 0, 1).astype(cache.scales.dtype), mode="drop"
     )

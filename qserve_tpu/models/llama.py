@@ -495,9 +495,10 @@ def decode(
         )
 
     h, (k_all, v_all) = _run_layers(params, h, cos, sin, args, attend)
+    # decode: one token per sequence, each owning its last page exclusively
     kv = kvc.append_all_layers(
         kv, k_all, v_all, page_ids, slots,
-        args.quant.kv_bits, args.quant.kv_zero_point,
+        args.quant.kv_bits, args.quant.kv_zero_point, unique_pages=True,
     )
     h = ops.rmsnorm(h, params.final_ln, args.rms_eps)
     logits = _lm_head(h, params, args)

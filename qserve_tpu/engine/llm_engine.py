@@ -54,6 +54,12 @@ class LLMEngine:
         self._seq_index: Dict[int, Tuple[SequenceGroup, Sequence]] = {}
         self._num_generated = 0
         self._num_prompt_tokens = 0
+        # periodic stats emission (the reference plumbs log_stats/_LOGGING_
+        # INTERVAL_SEC but never emits, llm_engine.py:44; here it is real)
+        self._stats_interval_s = 10.0
+        self._last_stats_time = time.time()
+        self._last_stats_generated = 0
+        self._last_stats_prompt = 0
 
     # ------------------------------------------------------------------
     @classmethod
@@ -167,6 +173,8 @@ class LLMEngine:
             touched_groups.append(group)
 
         self.scheduler.free_finished_seq_groups()
+        if self.log_stats:
+            self._maybe_log_stats()
         seen = set()
         for group in touched_groups:
             if id(group) in seen:
@@ -225,6 +233,26 @@ class LLMEngine:
         )
 
     # ------------------------------------------------------------------
+    def _maybe_log_stats(self) -> None:
+        now = time.time()
+        dt = now - self._last_stats_time
+        if dt < self._stats_interval_s:
+            return
+        gen = self._num_generated - self._last_stats_generated
+        prompt = self._num_prompt_tokens - self._last_stats_prompt
+        free = self.scheduler.block_manager.get_num_free_device_pages()
+        total = self.scheduler.block_manager.num_device_pages
+        logger.info(
+            "throughput: %.1f gen tok/s, %.1f prompt tok/s | running %d, "
+            "waiting %d, swapped %d | KV pages %.1f%% used",
+            gen / dt, prompt / dt, len(self.scheduler.running),
+            len(self.scheduler.waiting), len(self.scheduler.swapped),
+            100.0 * (total - free) / max(total, 1),
+        )
+        self._last_stats_time = now
+        self._last_stats_generated = self._num_generated
+        self._last_stats_prompt = self._num_prompt_tokens
+
     def stats(self) -> dict:
         return dict(
             generated_tokens=self._num_generated,

@@ -46,6 +46,7 @@ from jax.experimental.pallas import tpu as pltpu
 from qserve_tpu.kernels.ops import interpret_mode, register_pallas
 
 NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
+NBUF = 4  # in-flight page prefetch depth (DMA latency >> per-page compute)
 
 
 def _unpack_nibbles(x_i8, interpret: bool):
@@ -75,8 +76,8 @@ def _paged_attn_kernel(
     # output
     out_ref,  # [1, H*G, D] f32 (VMEM)
     # scratch
-    buf_d,  # [2, 2, ps, H*Dc] int8
-    buf_s,  # [2, 2, 2H, ps] f32
+    buf_d,  # [NBUF, 2, ps, H*Dc] int8
+    buf_s,  # [NBUF, 2, 2H, ps] f32
     acc_ref,  # [H*G, D] f32
     m_ref,  # [H*G, 1] f32
     l_ref,  # [H*G, 1] f32
@@ -138,21 +139,17 @@ def _paged_attn_kernel(
             ),
         )
 
-    @pl.when(npages > 0)
-    def _():
-        d0, s0 = dma(0, 0)
-        d0.start()
-        s0.start()
+    # prefetch depth NBUF: per-page DMA latency exceeds per-page compute,
+    # so a 2-deep pipeline stalls on latency; keep NBUF pages in flight
+    for j in range(NBUF):
+        @pl.when(j < npages)
+        def _(j=j):
+            dj, sj = dma(j, j)
+            dj.start()
+            sj.start()
 
     def body(p, _):
-        slot = jax.lax.rem(p, 2)
-
-        @pl.when(p + 1 < npages)
-        def _():
-            d1, s1 = dma(1 - slot, p + 1)
-            d1.start()
-            s1.start()
-
+        slot = jax.lax.rem(p, NBUF)
         dw, sw = dma(slot, p)
         dw.wait()
         sw.wait()
@@ -162,12 +159,9 @@ def _paged_attn_kernel(
         if kv4:
             k_lo, k_hi = _unpack_nibbles(kp, interpret)  # int8, no float conv
             v_lo, v_hi = _unpack_nibbles(vp, interpret)
-            v_lo_bf = v_lo.astype(jnp.bfloat16)
-            v_hi_bf = v_hi.astype(jnp.bfloat16)
         else:
             k_lo = kp  # KV8: stored u-128, s8 MXU-ready (append_layer)
-            v_lo_bf = vp.astype(jnp.bfloat16)  # x = u-128, exact in bf16
-            v_hi_bf = None
+            v_lo, v_hi = vp, None
 
         # per-head scale rows expanded to the [HG, ps] score block
         ks = jnp.repeat(buf_s[slot, 0, :H, :], G, axis=0)  # [HG, ps]
@@ -209,13 +203,21 @@ def _paged_attn_kernel(
         l_ref[:] = l_ref[:] * alpha + jnp.sum(p_gp, axis=1, keepdims=True)
         m_ref[:] = m_new
 
-        # V: pv_full = (p*vs) @ v_plane -> [HG, HDc]; keep only the diagonal
-        # head blocks (cross-head products are masked away by cheap selects)
-        pvs = (p_gp * vs).astype(jnp.bfloat16)  # [HG, ps]
+        # V: (p*vs) requantizes per row to int8 so the PV dot is s8 x s8 on
+        # the MXU straight from the nibble unpack — no int->float conversion
+        # of the V plane at all (the decode analog of SageAttention's int8-P;
+        # ~0.8% row-relative error, below the KV4 noise floor). Only the
+        # diagonal head blocks of pv_full are kept (cheap selects).
+        pvs_f = p_gp * vs  # [HG, ps] f32
+        pq_scale = jnp.maximum(
+            jnp.max(jnp.abs(pvs_f), axis=1, keepdims=True), 1e-20
+        ) / 127.0
+        pvs_q = jnp.round(pvs_f / pq_scale).astype(jnp.int8)  # [HG, ps]
         vz_eff = vz if kv4 else vz + 128.0 * vs  # KV8 offset (see above)
         pvz = jnp.sum(p_gp * vz_eff, axis=1, keepdims=True)  # [HG, 1]
 
-        def diag_blocks(pv_full):  # [HG, HDc] f32 -> [HG, dc]
+        def diag_blocks(pv_full_i32):  # [HG, HDc] i32 -> [HG, dc] f32
+            pv_full = pv_full_i32.astype(jnp.float32) * pq_scale
             out = jnp.zeros((HG, dc), jnp.float32)
             for h in range(H):
                 sel = (row_head[:, :dc] == h).astype(jnp.float32)
@@ -223,19 +225,26 @@ def _paged_attn_kernel(
             return out
 
         pv_lo = diag_blocks(jax.lax.dot_general(
-            pvs, v_lo_bf, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            pvs_q, v_lo, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
         ))
         if kv4:
             pv_hi = diag_blocks(jax.lax.dot_general(
-                pvs, v_hi_bf, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                pvs_q, v_hi, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
             ))
             pv = jnp.concatenate([pv_lo, pv_hi], axis=1)  # [HG, D]
         else:
             pv = pv_lo
         pv = pv + pvz
         acc_ref[:] = acc_ref[:] * alpha + pv
+
+        # buf slot is free now: refill it with page p + NBUF
+        @pl.when(p + NBUF < npages)
+        def _():
+            dn, sn = dma(slot, p + NBUF)
+            dn.start()
+            sn.start()
         return 0
 
     jax.lax.fori_loop(0, npages, body, 0, unroll=False)
@@ -297,12 +306,12 @@ def paged_decode_attention_pallas(
         out_specs=pl.BlockSpec((1, H * G, D), lambda b, *_: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, 2, ps, hdc), jnp.int8),
-            pltpu.VMEM((2, 2, 2 * H, ps), jnp.float32),
+            pltpu.VMEM((NBUF, 2, ps, hdc), jnp.int8),
+            pltpu.VMEM((NBUF, 2, 2 * H, ps), jnp.float32),
             pltpu.VMEM((H * G, D), jnp.float32),
             pltpu.VMEM((H * G, 1), jnp.float32),
             pltpu.VMEM((H * G, 1), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((NBUF, 2)),
         ],
     )
     maxP = block_tables.shape[1]
@@ -335,8 +344,12 @@ def paged_decode_attention_pallas(
 @register_pallas("paged_decode_attention")
 def _paged_attn_dispatch(q, cache, block_tables, context_lens, layer_idx,
                          k_cur, v_cur, kv_bits, sm_scale):
+    import os
+
     D = q.shape[-1]
     ps = cache.page_size
+    if os.environ.get("QSERVE_TPU_EXACT_ATTN", "0") == "1":
+        return None  # full-float XLA fallback (accuracy studies)
     if not supports(ps, D):
         return None  # dispatcher falls back to XLA
     sm = sm_scale if sm_scale is not None else 1.0 / (D ** 0.5)

@@ -120,8 +120,9 @@ class TestPagedAttentionParity:
             k_cur, v_cur, True, 1.0 / D ** 0.5,
         )
         expect = reference_attention(cache, bt, q, ctx, 0, k_cur, v_cur, 4)
+        # int8-quantized q rows + int8 (p*vs) PV dot: ~1% abs error scale
         np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
-                                   rtol=2e-2, atol=4e-3)
+                                   rtol=2e-2, atol=1.5e-2)
 
     def test_dispatcher_fallback_agrees(self):
         """attention.paged_decode_attention (XLA fallback) vs pallas kernel."""

@@ -50,13 +50,13 @@ def main():
 
     name = os.environ.get("QSERVE_BENCH_MODEL", "8b")
     precision = os.environ.get("QSERVE_BENCH_PRECISION", "w4a8kv4")
-    B = int(os.environ.get("QSERVE_BENCH_BATCH", "48"))
+    B = int(os.environ.get("QSERVE_BENCH_BATCH", "128"))
     ctx = int(os.environ.get("QSERVE_BENCH_CTX", "1280"))  # ~1024 in + mid-gen
     steps = int(os.environ.get("QSERVE_BENCH_STEPS", "16"))
     warmup = int(os.environ.get("QSERVE_BENCH_WARMUP", "3"))
     # 128-token pages: the Pallas paged-attention kernel wants lane-aligned
     # pages (page_size % 128 == 0)
-    PAGE = int(os.environ.get("QSERVE_BENCH_PAGE", "128"))
+    PAGE = int(os.environ.get("QSERVE_BENCH_PAGE", "256"))
 
     args = model_args(name, precision)
     max_pages_per_seq = -(-(ctx + steps + warmup + PAGE) // PAGE)

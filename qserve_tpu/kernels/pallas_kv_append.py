@@ -33,6 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 from qserve_tpu.kernels.ops import interpret_mode
 
 _GRP = 8  # sublane group per data RMW (aligned to the (8,128)(4,1) tiling)
+_CHUNK = 32  # tokens per DMA phase (bounds live semaphores: sflag is ~2KB)
 
 
 def _append_kernel(
@@ -64,8 +65,12 @@ def _append_kernel(
     def grp_of(slot):
         return pl.multiple_of((slot // _GRP) * _GRP, _GRP)
 
-    # phase A: start all reads
-    for t in range(T):
+    # tokens are processed in chunks of _CHUNK (the sflag budget bounds the
+    # number of live DMA semaphores); phases overlap within a chunk
+    for c0 in range(0, T, _CHUNK):
+      trange = range(c0, min(c0 + _CHUNK, T))
+      # phase A: start all reads
+      for t in trange:
         page = pages_ref[t]
 
         @pl.when(page >= 0)
@@ -73,14 +78,14 @@ def _append_kernel(
             g = grp_of(slots_ref[t])
             pltpu.make_async_copy(
                 data_out.at[li, page, :, pl.ds(g, _GRP), :],
-                dblk.at[t], sem_dr.at[t],
+                dblk.at[t % _CHUNK], sem_dr.at[t % _CHUNK],
             ).start()
             pltpu.make_async_copy(
-                scales_out.at[li, page], sblk.at[t], sem_sr.at[t]
+                scales_out.at[li, page], sblk.at[t % _CHUNK], sem_sr.at[t % _CHUNK]
             ).start()
 
-    # phase B: merge + start writes
-    for t in range(T):
+      # phase B: merge + start writes
+      for t in trange:
         page = pages_ref[t]
 
         @pl.when(page >= 0)
@@ -89,22 +94,23 @@ def _append_kernel(
             g = grp_of(slot)
             pltpu.make_async_copy(
                 data_out.at[li, page, :, pl.ds(g, _GRP), :],
-                dblk.at[t], sem_dr.at[t],
+                dblk.at[t % _CHUNK], sem_dr.at[t % _CHUNK],
             ).wait()
             row = rows_ref[0, t]  # [2, HDc] int8
+            tc = t % _CHUNK
             if interpret:
                 sub = jax.lax.broadcasted_iota(
                     jnp.int32, (2, _GRP, row.shape[-1]), 1
                 )
-                dblk[t] = jnp.where(
+                dblk[tc] = jnp.where(
                     sub == (slot - g),
                     jnp.broadcast_to(row[:, None, :], dblk.shape[1:]),
-                    dblk[t],
+                    dblk[tc],
                 )
             else:
                 # int8 has no elementwise select on the VPU; merge the row
                 # through the int32 word domain (4 sublanes per word)
-                old = pltpu.bitcast(dblk[t], jnp.int32)  # [2, GRP//4, HDc]
+                old = pltpu.bitcast(dblk[tc], jnp.int32)  # [2, GRP//4, HDc]
                 word = (slot - g) // 4
                 shift = ((slot - g) % 4) * 8
                 keep = ~(jnp.int32(0xFF) << shift)
@@ -115,39 +121,40 @@ def _append_kernel(
                 merged = jnp.where(
                     sub == word, (old & keep) | byts[:, None, :], old
                 )
-                dblk[t] = pltpu.bitcast(merged, jnp.int8)
+                dblk[tc] = pltpu.bitcast(merged, jnp.int8)
             pltpu.make_async_copy(
-                dblk.at[t],
+                dblk.at[tc],
                 data_out.at[li, page, :, pl.ds(g, _GRP), :],
-                sem_dw.at[t],
+                sem_dw.at[tc],
             ).start()
 
             pltpu.make_async_copy(
-                scales_out.at[li, page], sblk.at[t], sem_sr.at[t]
+                scales_out.at[li, page], sblk.at[t % _CHUNK], sem_sr.at[t % _CHUNK]
             ).wait()
             lane = jax.lax.broadcasted_iota(
                 jnp.int32, (sblk.shape[1], sblk.shape[2], ps), 2
             )
             newv = scrows_ref[0, t][:, :, None]  # [2, 2H, 1]
-            sblk[t] = jnp.where(lane == slot, newv, sblk[t])
+            sblk[tc] = jnp.where(lane == slot, newv, sblk[tc])
             pltpu.make_async_copy(
-                sblk.at[t], scales_out.at[li, page], sem_sw.at[t]
+                sblk.at[tc], scales_out.at[li, page], sem_sw.at[tc]
             ).start()
 
-    # phase C: drain writes
-    for t in range(T):
+      # phase C: drain writes
+      for t in trange:
         page = pages_ref[t]
 
         @pl.when(page >= 0)
         def _(t=t, page=page):
             g = grp_of(slots_ref[t])
             pltpu.make_async_copy(
-                dblk.at[t],
+                dblk.at[t % _CHUNK],
                 data_out.at[li, page, :, pl.ds(g, _GRP), :],
-                sem_dw.at[t],
+                sem_dw.at[t % _CHUNK],
             ).wait()
             pltpu.make_async_copy(
-                sblk.at[t], scales_out.at[li, page], sem_sw.at[t]
+                sblk.at[t % _CHUNK], scales_out.at[li, page],
+                sem_sw.at[t % _CHUNK]
             ).wait()
 
 
@@ -181,12 +188,12 @@ def kv_append_inplace(
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=[
-            pltpu.VMEM((T, 2, _GRP, HDc), jnp.int8),
-            pltpu.VMEM((T, 2, twoH, ps), jnp.float32),
-            pltpu.SemaphoreType.DMA((T,)),
-            pltpu.SemaphoreType.DMA((T,)),
-            pltpu.SemaphoreType.DMA((T,)),
-            pltpu.SemaphoreType.DMA((T,)),
+            pltpu.VMEM((min(T, _CHUNK), 2, _GRP, HDc), jnp.int8),
+            pltpu.VMEM((min(T, _CHUNK), 2, twoH, ps), jnp.float32),
+            pltpu.SemaphoreType.DMA((min(T, _CHUNK),)),
+            pltpu.SemaphoreType.DMA((min(T, _CHUNK),)),
+            pltpu.SemaphoreType.DMA((min(T, _CHUNK),)),
+            pltpu.SemaphoreType.DMA((min(T, _CHUNK),)),
         ],
     )
     new_data, new_scales = pl.pallas_call(

@@ -3,35 +3,38 @@
 TPU-native replacement for the reference's TRT-LLM-derived MMHA kernel
 (decoderMaskedMultiheadAttentionTemplate.hpp): one pass over each sequence's
 quantized paged KV history with fused dequant, fp32 online softmax, and V
-accumulation. Differences by design:
+accumulation. Design:
 
   * KV pages are gathered by *array index* from the block table (scalar-
     prefetched into SMEM), not via raw device pointers (KVBlockArray);
-  * the current step's K/V are appended by a separate scatter op before the
-    kernel runs (TPU favors this split over the reference's in-kernel append,
-    Template.hpp:1033-1349);
-  * the grid is (batch,) with megacore batch parallelism; K and V of one page
-    arrive in ONE large DMA (data) + one small DMA (scales), double-buffered
-    across the page loop — the TPU analog of K_LOOP_UNROLL/cp.async scale
-    preloading (Template.hpp:918-953);
+  * the kernel reads the FULL stacked cache at a layer index — the layer
+    loop above never slices the multi-GB arrays;
+  * the CURRENT token's K/V are direct inputs and self-attend in-kernel
+    (appends are deferred and batched; the reference MMHA also self-attends,
+    Template.hpp:1221-1349) — the cache covers positions < ctx-1;
+  * the grid is (batch,) with megacore batch parallelism; PCHUNK pages are
+    processed per loop iteration (one DMA per page, NBUF chunk buffers in
+    flight) — the TPU analog of K_LOOP_UNROLL/cp.async scale preloading
+    (Template.hpp:918-953) with per-iteration fixed costs amortized over
+    PCHUNK*ps slots;
   * KV4 nibbles unpack with the packed-word mask trick (the reference's
     `w & 0x0F0F0F0F` LOP3 dequant, Utils.h:1943-1953, on VPU terms:
     pltpu.bitcast to int32, one mask op per 4 bytes);
   * ALL kv heads are processed by single MXU ops via a block-diagonal query
     matrix: Q_blk [H*G, H*Dc] holds head h's queries in lane block h, so
       scores = Q_blk(int8) @ k_plane^T   -- one s8xs8 MXU op per nibble plane
-    (q is requantized per (head, group) row to int8: same error class as a
-    bf16 cast, and the K plane feeds the MXU straight from the nibble unpack
-    with NO int8->float conversion — the decode analog of the W4A8 GEMM's
-    progressive dequant);
-  * per-slot scale/zero fold in as row-vector multiply-adds on the [H*G, ps]
-    score block:  s = (qk_i32 * qscale_row) * ks + qsum_row * kz,
-    and the V side runs in bf16:  pv_full = (p * vs) @ v_plane, with the
-    per-head diagonal blocks extracted by masked adds (the only cross-head
-    waste; the MXU was idle regardless).
+    (q is requantized per (head, group) row to int8, and the K plane feeds
+    the MXU straight from the nibble unpack with NO int->float conversion —
+    the decode analog of the W4A8 GEMM's progressive dequant);
+  * per-slot scale/zero fold in as row-vector multiply-adds on the
+    [H*G, PCHUNK*ps] score block; the V side requantizes (p*vs) rows to int8
+    so PV is also a straight s8 x s8 dot (SageAttention-style int8-P; error
+    below the KV4 noise floor). Only the diagonal head blocks of pv_full are
+    kept (cheap selects; the MXU was idle regardless).
 
 Constraints (dispatcher falls back to XLA otherwise): page_size % 128 == 0
-and head_dim % 128 == 0.
+and head_dim % 128 == 0. QSERVE_TPU_EXACT_ATTN=1 forces the full-float XLA
+fallback for accuracy studies.
 """
 
 from __future__ import annotations
@@ -46,7 +49,8 @@ from jax.experimental.pallas import tpu as pltpu
 from qserve_tpu.kernels.ops import interpret_mode, register_pallas
 
 NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
-NBUF = 4  # in-flight page prefetch depth (DMA latency >> per-page compute)
+NBUF = 3  # chunk buffers in flight
+PCHUNK = 2  # pages per loop iteration
 
 
 def _unpack_nibbles(x_i8, interpret: bool):
@@ -76,12 +80,12 @@ def _paged_attn_kernel(
     # output
     out_ref,  # [1, H*G, D] f32 (VMEM)
     # scratch
-    buf_d,  # [NBUF, 2, ps, H*Dc] int8
-    buf_s,  # [NBUF, 2, 2H, ps] f32
+    buf_d,  # [NBUF, 2, PCHUNK*ps, H*Dc] int8
+    buf_s,  # [NBUF, 2, 2H, PCHUNK*ps] f32
     acc_ref,  # [H*G, D] f32
     m_ref,  # [H*G, 1] f32
     l_ref,  # [H*G, 1] f32
-    sems,  # DMA sems [2, 2]
+    sems,  # DMA sems [NBUF, 2, PCHUNK]
     *,
     ps: int,
     H: int,
@@ -94,14 +98,13 @@ def _paged_attn_kernel(
     b = pl.program_id(0)
     li = li_ref[0]
     ctx = ctx_ref[b]
-    # the CURRENT token's K/V arrive as direct inputs (appends are deferred
-    # and batched; the reference MMHA also self-attends in-kernel,
-    # Template.hpp:1221-1349) — the cache covers positions < ctx-1
     hist = jnp.maximum(ctx - 1, 0)
     npages = jax.lax.div(hist + ps - 1, ps)
+    nblocks = jax.lax.div(npages + PCHUNK - 1, PCHUNK)
     dc = D // 2 if kv4 else D
     HG = H * G
     HDc = H * dc
+    ps2 = PCHUNK * ps
 
     acc_ref[:] = jnp.zeros_like(acc_ref)
     m_ref[:] = jnp.full_like(m_ref, NEG_INF)
@@ -128,33 +131,52 @@ def _paged_attn_kernel(
         qb_lo = q_blk_int8(q)
         qb_hi = None
 
-    def dma(slot, p):
-        page = bt_ref[b, p]
-        return (
-            pltpu.make_async_copy(
-                data_ref.at[li, page], buf_d.at[slot], sems.at[slot, 0]
-            ),
-            pltpu.make_async_copy(
-                scales_ref.at[li, page], buf_s.at[slot], sems.at[slot, 1]
-            ),
-        )
+    def start_block(slot, blk):
+        for j in range(PCHUNK):
+            p = blk * PCHUNK + j
 
-    # prefetch depth NBUF: per-page DMA latency exceeds per-page compute,
-    # so a 2-deep pipeline stalls on latency; keep NBUF pages in flight
+            @pl.when(p < npages)
+            def _(j=j, p=p):
+                page = bt_ref[b, p]
+                pltpu.make_async_copy(
+                    data_ref.at[li, page],
+                    buf_d.at[slot, :, pl.ds(j * ps, ps), :],
+                    sems.at[slot, 0, j],
+                ).start()
+                pltpu.make_async_copy(
+                    scales_ref.at[li, page],
+                    buf_s.at[slot, :, :, pl.ds(j * ps, ps)],
+                    sems.at[slot, 1, j],
+                ).start()
+
+    def wait_block(slot, blk):
+        for j in range(PCHUNK):
+            p = blk * PCHUNK + j
+
+            @pl.when(p < npages)
+            def _(j=j, p=p):
+                page = bt_ref[b, p]
+                pltpu.make_async_copy(
+                    data_ref.at[li, page],
+                    buf_d.at[slot, :, pl.ds(j * ps, ps), :],
+                    sems.at[slot, 0, j],
+                ).wait()
+                pltpu.make_async_copy(
+                    scales_ref.at[li, page],
+                    buf_s.at[slot, :, :, pl.ds(j * ps, ps)],
+                    sems.at[slot, 1, j],
+                ).wait()
+
     for j in range(NBUF):
-        @pl.when(j < npages)
+        @pl.when(j < nblocks)
         def _(j=j):
-            dj, sj = dma(j, j)
-            dj.start()
-            sj.start()
+            start_block(j, j)
 
-    def body(p, _):
-        slot = jax.lax.rem(p, NBUF)
-        dw, sw = dma(slot, p)
-        dw.wait()
-        sw.wait()
+    def body(blk, _):
+        slot = jax.lax.rem(blk, NBUF)
+        wait_block(slot, blk)
 
-        kp = buf_d[slot, 0]  # [ps, HDc] int8
+        kp = buf_d[slot, 0]  # [ps2, HDc] int8
         vp = buf_d[slot, 1]
         if kv4:
             k_lo, k_hi = _unpack_nibbles(kp, interpret)  # int8, no float conv
@@ -163,13 +185,13 @@ def _paged_attn_kernel(
             k_lo = kp  # KV8: stored u-128, s8 MXU-ready (append_layer)
             v_lo, v_hi = vp, None
 
-        # per-head scale rows expanded to the [HG, ps] score block
-        ks = jnp.repeat(buf_s[slot, 0, :H, :], G, axis=0)  # [HG, ps]
+        # per-head scale rows expanded to the [HG, ps2] score block
+        ks = jnp.repeat(buf_s[slot, 0, :H, :], G, axis=0)  # [HG, ps2]
         kz = jnp.repeat(buf_s[slot, 0, H:, :], G, axis=0)
         vs = jnp.repeat(buf_s[slot, 1, :H, :], G, axis=0)
         vz = jnp.repeat(buf_s[slot, 1, H:, :], G, axis=0)
 
-        # scores: one s8 x s8 MXU op per nibble plane
+        # scores: one s8 x s8 MXU op per nibble plane (covers PCHUNK pages)
         if kv4:
             qk = jax.lax.dot_general(
                 qb_lo, k_lo, (((1,), (1,)), ((), ())),
@@ -177,7 +199,7 @@ def _paged_attn_kernel(
             ) + jax.lax.dot_general(
                 qb_hi, k_hi, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32,
-            )  # [HG, ps]
+            )  # [HG, ps2]
             qk_f = qk.astype(jnp.float32) * qscale
             kz_eff = kz
         else:
@@ -189,12 +211,12 @@ def _paged_attn_kernel(
             qk_f = qk.astype(jnp.float32) * qscale
             kz_eff = kz + 128.0 * ks
 
-        pos = p * ps + jax.lax.broadcasted_iota(jnp.int32, (1, ps), 1)
-        valid = pos < hist  # [1, ps]; the current token is handled below
+        pos = blk * ps2 + jax.lax.broadcasted_iota(jnp.int32, (1, ps2), 1)
+        valid = pos < hist  # [1, ps2]; the current token is handled below
         s_gp = (qk_f * ks + qsum * kz_eff) * sm_scale
         s_gp = jnp.where(valid, s_gp, NEG_INF)
 
-        # online softmax across the whole [HG, ps] block
+        # online softmax across the whole [HG, ps2] block
         m_prev = m_ref[:]
         m_new = jnp.maximum(m_prev, jnp.max(s_gp, axis=1, keepdims=True))
         alpha = jnp.exp(m_prev - m_new)
@@ -203,18 +225,18 @@ def _paged_attn_kernel(
         l_ref[:] = l_ref[:] * alpha + jnp.sum(p_gp, axis=1, keepdims=True)
         m_ref[:] = m_new
 
-        # V: (p*vs) requantizes per row to int8 so the PV dot is s8 x s8 on
-        # the MXU straight from the nibble unpack — no int->float conversion
-        # of the V plane at all (the decode analog of SageAttention's int8-P;
-        # ~0.8% row-relative error, below the KV4 noise floor). Only the
-        # diagonal head blocks of pv_full are kept (cheap selects).
-        pvs_f = p_gp * vs  # [HG, ps] f32
+        # V: requantize (p*vs) rows to int8 -> s8 x s8 PV dot, no V conversion
+        # (mask AFTER the multiply: beyond-history lanes hold unwritten scale
+        # values and 0 * garbage must not poison the row max / sums)
+        pvs_f = jnp.where(valid, p_gp * vs, 0.0)  # [HG, ps2] f32
         pq_scale = jnp.maximum(
             jnp.max(jnp.abs(pvs_f), axis=1, keepdims=True), 1e-20
         ) / 127.0
-        pvs_q = jnp.round(pvs_f / pq_scale).astype(jnp.int8)  # [HG, ps]
+        pvs_q = jnp.round(pvs_f / pq_scale).astype(jnp.int8)  # [HG, ps2]
         vz_eff = vz if kv4 else vz + 128.0 * vs  # KV8 offset (see above)
-        pvz = jnp.sum(p_gp * vz_eff, axis=1, keepdims=True)  # [HG, 1]
+        pvz = jnp.sum(
+            jnp.where(valid, p_gp * vz_eff, 0.0), axis=1, keepdims=True
+        )  # [HG, 1]
 
         def diag_blocks(pv_full_i32):  # [HG, HDc] i32 -> [HG, dc] f32
             pv_full = pv_full_i32.astype(jnp.float32) * pq_scale
@@ -239,15 +261,13 @@ def _paged_attn_kernel(
         pv = pv + pvz
         acc_ref[:] = acc_ref[:] * alpha + pv
 
-        # buf slot is free now: refill it with page p + NBUF
-        @pl.when(p + NBUF < npages)
+        # buffer slot is free: refill with block blk + NBUF
+        @pl.when(blk + NBUF < nblocks)
         def _():
-            dn, sn = dma(slot, p + NBUF)
-            dn.start()
-            sn.start()
+            start_block(slot, blk + NBUF)
         return 0
 
-    jax.lax.fori_loop(0, npages, body, 0, unroll=False)
+    jax.lax.fori_loop(0, nblocks, body, 0, unroll=False)
 
     # ---- self-attention on the current token (exact, unquantized) ----
     kc = kc_ref[0]  # [H, D] f32
@@ -306,12 +326,12 @@ def paged_decode_attention_pallas(
         out_specs=pl.BlockSpec((1, H * G, D), lambda b, *_: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((NBUF, 2, ps, hdc), jnp.int8),
-            pltpu.VMEM((NBUF, 2, 2 * H, ps), jnp.float32),
+            pltpu.VMEM((NBUF, 2, PCHUNK * ps, hdc), jnp.int8),
+            pltpu.VMEM((NBUF, 2, 2 * H, PCHUNK * ps), jnp.float32),
             pltpu.VMEM((H * G, D), jnp.float32),
             pltpu.VMEM((H * G, 1), jnp.float32),
             pltpu.VMEM((H * G, 1), jnp.float32),
-            pltpu.SemaphoreType.DMA((NBUF, 2)),
+            pltpu.SemaphoreType.DMA((NBUF, 2, PCHUNK)),
         ],
     )
     maxP = block_tables.shape[1]

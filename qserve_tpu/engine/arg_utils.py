@@ -37,8 +37,10 @@ class EngineArgs:
     group_size: int = -1
     kv_zero_point: bool = True
     quant_path: Optional[str] = None
-    # kv cache
-    block_size: int = 64
+    # kv cache (256-token pages keep the Pallas decode-attention kernel on
+    # its fast path — page_size % 128 == 0 — and amortize per-page costs;
+    # the reference defaults to 64, arg_utils.py:215-221)
+    block_size: int = 256
     num_device_pages: Optional[int] = None
     num_cpu_pages: int = 0
     gpu_memory_utilization: float = 0.5  # kept for CLI compat; HBM fraction
@@ -78,7 +80,9 @@ class EngineArgs:
         g("--no-kv-zero-point", dest="kv_zero_point", action="store_false")
         g("--quant-path", type=str, default=None,
           help="packed QoQ checkpoint (from the checkpoint converter)")
-        g("--block-size", type=int, default=64, help="KV page size in tokens")
+        g("--block-size", type=int, default=256,
+          help="KV page size in tokens (multiples of 128 use the Pallas "
+               "decode kernel; the reference default was 64)")
         g("--num-device-pages", type=int, default=None,
           help="KV pages on device (auto-sized if omitted; "
               "NUM_GPU_PAGE_BLOCKS env honored for compat)")
@@ -210,6 +214,23 @@ class EngineArgs:
         if self.run_vlm:
             worker = Worker.create_vlm(
                 vlm_args, cache_config, scheduler_config, params=vlm_params,
+                seed=self.seed,
+            )
+        elif self.tensor_parallel_size > 1 or self.data_parallel_size > 1:
+            # real TP/DP over a jax mesh (the reference's TP is vestigial —
+            # models hardcode tp_size=1, worker.py:100-103)
+            if self.random_weights:
+                import jax as _jax
+
+                fp = llama_mod.random_float_params(
+                    _jax.random.PRNGKey(self.seed), args
+                )
+            else:
+                fp = loader.load_float_params_from_hf(self.model, args)
+            worker = Worker.create_tp(
+                fp, args, cache_config, scheduler_config,
+                tp_size=self.tensor_parallel_size,
+                dp_size=self.data_parallel_size,
                 seed=self.seed,
             )
         else:

@@ -1,0 +1,132 @@
+"""Tensor-parallel model runner: the engine hot loop over a device mesh.
+
+The reference's TP is vestigial (models hardcode tp_size=1, distributed init
+commented out — SURVEY.md §2.5). Here `-tp N` builds a (dp=1, tp=N) mesh,
+quantizes the weights per shard, shards the KV cache by kv-head, and drives
+the shard_map-wrapped step functions from parallel/tp.py. The engine above
+is unchanged: one logical scheduler feeding one SPMD program.
+
+Multi-host note: under `jax.distributed` the same code runs SPMD across
+hosts — every host runs the identical scheduler on identical requests
+(deterministic replication), the mesh spans all devices, and each host feeds
+its addressable shards. Request ingestion must be replicated or broadcast by
+the serving frontend (see docs/PARITY.md §parallelism).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qserve_tpu.kernels import kv_cache as kvc
+from qserve_tpu.logger import init_logger
+from qserve_tpu.models import llama
+from qserve_tpu.parallel import tp as tpmod
+from qserve_tpu.sequence import SequenceGroupMetadata
+from qserve_tpu.utils.utils import bucket
+from qserve_tpu.worker.model_runner import ModelRunner
+
+logger = init_logger(__name__)
+
+
+class TPModelRunner(ModelRunner):
+    """ModelRunner whose step functions run under shard_map over ('dp','tp')."""
+
+    def __init__(
+        self,
+        float_params: dict,
+        model_args: llama.LlamaArgs,
+        max_model_len: int,
+        block_size: int,
+        tp_size: int,
+        dp_size: int = 1,
+        max_num_batched_tokens: int = 2048,
+        max_num_seqs: int = 256,
+        rng_seed: int = 0,
+    ) -> None:
+        import dataclasses
+
+        # dp > 1 inside ONE engine needs per-replica request routing; serve
+        # with one engine per dp replica instead (how the reference does DP,
+        # scripts/vlm_cap_scripts/*_8gpus.sh) — the dp axis here is exercised
+        # by the multi-chip dryrun at the step-function level.
+        assert dp_size == 1, "engine-level dp>1: run one engine per replica"
+        args = dataclasses.replace(model_args, tp_size=tp_size)
+        self.mesh = tpmod.make_mesh(dp_size, tp_size)
+        params, specs = tpmod.quantize_params_tp(float_params, args)
+        params = tpmod.shard_params(params, specs, self.mesh)
+        super().__init__(
+            params, args, max_model_len, block_size,
+            max_num_batched_tokens=max_num_batched_tokens,
+            max_num_seqs=max_num_seqs, rng_seed=rng_seed,
+        )
+        self.param_specs = specs
+        self._prefill_fn, self._decode_fn = tpmod.build_step_fns(
+            args, self.mesh, specs
+        )
+
+    @classmethod
+    def from_random_tp(cls, model_args, max_model_len, block_size, tp_size,
+                       seed: int = 0, **kw):
+        fp = llama.random_float_params(jax.random.PRNGKey(seed), model_args)
+        return cls(fp, model_args, max_model_len, block_size, tp_size, **kw)
+
+    def shard_cache(self, cache: kvc.KVCache) -> kvc.KVCache:
+        return tpmod.shard_kv_cache(cache, self.mesh)
+
+    # ------------------------------------------------------------------
+    def execute_prefill(self, metadata, cache_engine):
+        from qserve_tpu import native
+
+        prompts, tables, seq_order, sp_list = [], [], [], []
+        total = 0
+        for md in metadata:
+            for seq_id, data in md.seq_data.items():
+                ids = data.get_token_ids()
+                prompts.append(ids)
+                tables.append(md.block_tables[seq_id])
+                total += len(ids)
+                seq_order.append(seq_id)
+                sp_list.append(md.sampling_params)
+
+        T = bucket(total, 16, self.max_num_batched_tokens * 2)
+        B = bucket(len(seq_order), 1, self.max_num_seqs)
+        tok, pos, sg, pg, sl, _, li, _ = native.pack_prefill(
+            prompts, tables, self.block_size, T, B
+        )
+        temp, topp, topk = self._sampling_arrays(sp_list, B)
+        toks, cache_engine.cache = self._prefill_fn(
+            self.params, cache_engine.cache,
+            *map(jnp.asarray, (tok, pos, sg, pg, sl, li)),
+            temp, topp, topk, self._next_key(),
+        )
+        out = np.asarray(jax.device_get(toks))
+        return [(sid, int(out[i])) for i, sid in enumerate(seq_order)]
+
+    def execute_decode(self, metadata, cache_engine):
+        from qserve_tpu import native
+
+        seq_order, tokens, ctx, tables, sp_list = [], [], [], [], []
+        for md in metadata:
+            for seq_id, data in md.seq_data.items():
+                seq_order.append(seq_id)
+                tokens.append(data.get_last_token_id())
+                ctx.append(data.get_len())
+                tables.append(md.block_tables[seq_id])
+                sp_list.append(md.sampling_params)
+
+        B = bucket(len(seq_order), 1, self.max_num_seqs)
+        tok, cl, bt = native.pack_decode(
+            tokens, ctx, tables, B, self.max_pages_per_seq
+        )
+        temp, topp, topk = self._sampling_arrays(sp_list, B)
+        toks, cache_engine.cache = self._decode_fn(
+            self.params, cache_engine.cache,
+            jnp.asarray(tok), jnp.asarray(bt), jnp.asarray(cl),
+            temp, topp, topk, self._next_key(),
+        )
+        out = np.asarray(jax.device_get(toks))
+        return [(sid, int(out[i])) for i, sid in enumerate(seq_order)]

@@ -65,6 +65,38 @@ class Worker:
         return cls(runner, cache_engine)
 
     @classmethod
+    def create_tp(
+        cls,
+        float_params: dict,
+        model_args,
+        cache_config: CacheConfig,
+        scheduler_config: SchedulerConfig,
+        tp_size: int,
+        dp_size: int = 1,
+        seed: int = 0,
+    ) -> "Worker":
+        """Tensor-parallel worker: shard_map step functions over a mesh."""
+        from qserve_tpu.worker.tp_runner import TPModelRunner
+
+        runner = TPModelRunner(
+            float_params, model_args,
+            max_model_len=scheduler_config.max_model_len,
+            block_size=cache_config.block_size,
+            tp_size=tp_size, dp_size=dp_size,
+            max_num_batched_tokens=scheduler_config.max_num_batched_tokens,
+            max_num_seqs=scheduler_config.max_num_seqs,
+            rng_seed=seed,
+        )
+        cache_engine = CacheEngine(
+            num_layers=model_args.num_layers,
+            num_kv_heads=model_args.num_kv_heads,
+            head_dim=model_args.head_dim,
+            cache_config=cache_config,
+        )
+        cache_engine.cache = runner.shard_cache(cache_engine.cache)
+        return cls(runner, cache_engine)
+
+    @classmethod
     def create_vlm(
         cls,
         vila_args,

@@ -236,7 +236,7 @@ class EngineArgs:
         else:
             worker = Worker.create(
                 args, cache_config, scheduler_config, params=params,
-                seed=self.seed,
+                seed=self.seed, benchmarking=self.benchmarking,
             )
         return LLMEngine(
             worker, scheduler_config, cache_config, tokenizer=tokenizer,

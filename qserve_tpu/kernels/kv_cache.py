@@ -184,28 +184,61 @@ def append_all_layers(
     kv_bits: int,
     zero_point: bool,
     unique_pages: bool = False,
+    max_stages: int = 0,
 ) -> KVCache:
     """One batched append of every layer's tokens (decode defers the
-    per-layer appends and issues this once per step). On TPU the decode-sized
-    case runs as a Pallas kernel with input_output_aliases — XLA's scatter
-    rewrites the entire multi-GB cache even when donated.
+    per-layer appends and issues this once per step). On TPU the append runs
+    as a Pallas kernel with input_output_aliases — XLA's scatter rewrites the
+    entire multi-GB cache even when donated.
 
     unique_pages=True asserts no two valid tokens target the same page (true
     for decode: every running sequence exclusively owns its last page after
-    copy-on-write) and enables the in-place kernel, whose per-page
-    scale-block read-modify-writes would race on shared pages."""
+    copy-on-write) and enables the per-token RMW kernel, whose per-page
+    scale-block read-modify-writes would race on shared pages.
+
+    max_stages > 0 enables the prefill path: tokens stage into full-page
+    buffers (packed prompts fill pages from slot 0 in consecutive runs) and
+    whole pages DMA into place. max_stages must upper-bound the number of
+    distinct pages touched (ceil(T/ps) + num_prompts is always enough)."""
     from qserve_tpu.kernels.ops import use_pallas
 
     L, T, H, D = k_all.shape
     P = cache.data.shape[1]
+    ps = cache.page_size
     rows, sc = _quantize_rows(k_all, v_all, kv_bits, zero_point)
+    sc = sc.astype(cache.scales.dtype)
 
     if use_pallas() and unique_pages and T <= _INPLACE_MAX_T:
         from qserve_tpu.kernels.pallas_kv_append import kv_append_inplace
 
         data, scales = kv_append_inplace(
-            cache.data, cache.scales, rows, sc.astype(cache.scales.dtype),
-            page_ids, slots,
+            cache.data, cache.scales, rows, sc, page_ids, slots,
+        )
+        return KVCache(data=data, scales=scales)
+
+    if use_pallas() and max_stages > 0:
+        from qserve_tpu.kernels.pallas_kv_append import kv_write_pages_inplace
+
+        NS = max_stages
+        valid = page_ids >= 0
+        boundary = jnp.concatenate(
+            [jnp.ones((1,), jnp.bool_), page_ids[1:] != page_ids[:-1]]
+        )
+        stage_idx = jnp.cumsum(boundary.astype(jnp.int32)) - 1  # [T]
+        stage_safe = jnp.where(valid & (stage_idx < NS), stage_idx, NS)
+        hdc = rows.shape[-1]
+        staged_d = jnp.zeros((L, NS, 2, ps, hdc), jnp.int8)
+        staged_d = staged_d.at[:, stage_safe, :, slots, :].set(
+            jnp.swapaxes(rows, 0, 1), mode="drop"
+        )
+        staged_s = jnp.zeros((L, NS, 2, 2 * H, ps), cache.scales.dtype)
+        staged_s = staged_s.at[:, stage_safe, :, :, slots].set(
+            jnp.swapaxes(sc, 0, 1), mode="drop"
+        )
+        stage_pages = jnp.full((NS + 1,), -1, jnp.int32)
+        stage_pages = stage_pages.at[stage_safe].set(page_ids, mode="drop")
+        data, scales = kv_write_pages_inplace(
+            cache.data, cache.scales, staged_d, staged_s, stage_pages[:NS]
         )
         return KVCache(data=data, scales=scales)
 

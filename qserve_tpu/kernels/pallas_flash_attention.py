@@ -52,8 +52,10 @@ def _flash_kernel(
 
     @pl.when(j <= i)
     def _():
-        q = q_ref[0].astype(jnp.float32)  # [BT, D]
-        k = k_ref[0].astype(jnp.float32)  # [BK, D]
+        # bf16 operands, f32 accumulate: full-rate MXU (f32 dots run at
+        # 1/8 rate and prefill attention is compute-bound)
+        q = q_ref[0]  # [BT, D] bf16
+        k = k_ref[0]  # [BK, D]
         s = (
             jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -75,9 +77,10 @@ def _flash_kernel(
         p = jnp.where(mask, p, 0.0)
         l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
         m_ref[:] = m_new
-        v = v_ref[0].astype(jnp.float32)
+        v = v_ref[0]  # bf16
         acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
 
     @pl.when(j == nj - 1)

@@ -56,8 +56,10 @@ def _pick_bn(N: int) -> int:
 
 
 def _pick_bm(M: int, K: int) -> int:
-    # keep the resident A block [bm, K] int8 under ~4MB
-    cap = max(32, (4 << 20) // max(K, 1))
+    # keep the resident A block [bm, K] int8 under ~2MB (the full VMEM
+    # budget per kernel is 16MB: A + 2x weight blocks + nibble planes +
+    # int32 acc + out tile must all fit at prefill sizes)
+    cap = max(32, (2 << 20) // max(K, 1))
     return M if M <= cap else _largest_divisor(M, cap, 1)
 
 

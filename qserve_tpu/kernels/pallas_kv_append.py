@@ -158,6 +158,101 @@ def _append_kernel(
             ).wait()
 
 
+def _page_write_kernel(
+    # scalar prefetch
+    pages_ref,  # [NS] int32 destination page per stage (-1 = skip)
+    # inputs (ANY — staged pages are DMA'd HBM -> HBM)
+    staged_d_ref,  # [L, NS, 2, ps, HDc] int8
+    staged_s_ref,  # [L, NS, 2, 2H, ps] f32
+    data_ref,
+    scales_ref,
+    data_out,  # aliased
+    scales_out,  # aliased
+    sem_d,
+    sem_s,
+):
+    li = pl.program_id(0)
+    NS = staged_d_ref.shape[1]
+    for c0 in range(0, NS, _CHUNK):
+        srange = range(c0, min(c0 + _CHUNK, NS))
+        for s in srange:
+            @pl.when(pages_ref[s] >= 0)
+            def _(s=s):
+                page = pages_ref[s]
+                pltpu.make_async_copy(
+                    staged_d_ref.at[li, s], data_out.at[li, page],
+                    sem_d.at[s % _CHUNK],
+                ).start()
+                pltpu.make_async_copy(
+                    staged_s_ref.at[li, s], scales_out.at[li, page],
+                    sem_s.at[s % _CHUNK],
+                ).start()
+        for s in srange:
+            @pl.when(pages_ref[s] >= 0)
+            def _(s=s):
+                page = pages_ref[s]
+                pltpu.make_async_copy(
+                    staged_d_ref.at[li, s], data_out.at[li, page],
+                    sem_d.at[s % _CHUNK],
+                ).wait()
+                pltpu.make_async_copy(
+                    staged_s_ref.at[li, s], scales_out.at[li, page],
+                    sem_s.at[s % _CHUNK],
+                ).wait()
+
+
+@jax.jit
+def kv_write_pages_inplace(
+    data: jax.Array,  # [L, P, 2, ps, HDc] int8 (donated)
+    scales: jax.Array,  # [L, P, 2, 2H, ps] f32 (donated)
+    staged_d: jax.Array,  # [L, NS, 2, ps, HDc] int8
+    staged_s: jax.Array,  # [L, NS, 2, 2H, ps] f32
+    stage_pages: jax.Array,  # [NS] int32 (-1 = skip)
+):
+    """Write whole staged pages into the cache in place (prefill appends).
+
+    The caller stages each touched page's full contents in a SMALL array
+    (XLA scatter over ~T/ps pages instead of the multi-GB cache), then this
+    kernel DMAs staged pages HBM->HBM to their physical slots. Precondition:
+    prompts start at slot 0 of fresh pages (always true: prefill and
+    preemption-by-recompute process whole prompts), so unwritten tail slots
+    of a partial page are never-read garbage until decode RMWs them.
+    """
+    L = data.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(L,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.SemaphoreType.DMA((_CHUNK,)),
+            pltpu.SemaphoreType.DMA((_CHUNK,)),
+        ],
+    )
+    return pl.pallas_call(
+        _page_write_kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(data.shape, data.dtype),
+            jax.ShapeDtypeStruct(scales.shape, scales.dtype),
+        ],
+        input_output_aliases={3: 0, 4: 1},
+        interpret=interpret_mode(),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            dimension_semantics=("arbitrary",),
+        ),
+    )(stage_pages, staged_d, staged_s, data, scales)
+
+
 @jax.jit
 def kv_append_inplace(
     data: jax.Array,  # [L, P, 2, ps, HDc] int8 (donated)

@@ -449,9 +449,14 @@ def prefill_from_hidden(
         return attention.prefill_attention(q, k, v, segment_ids)
 
     h, (k_all, v_all) = _run_layers(params, h, cos, sin, args, attend)
+    # prefill: packed prompts touch at most T/ps + B distinct pages, each
+    # filled from slot 0 in one consecutive run -> staged full-page writes
+    T = h.shape[0]
+    B = last_token_idx.shape[0]
     kv = kvc.append_all_layers(
         kv, k_all, v_all, page_ids, slots,
         args.quant.kv_bits, args.quant.kv_zero_point,
+        max_stages=T // kv.page_size + B + 1,
     )
     h_last = h[last_token_idx]  # [B, E]
     h_last = ops.rmsnorm(h_last, params.final_ln, args.rms_eps)

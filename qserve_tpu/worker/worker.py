@@ -37,6 +37,7 @@ class Worker:
         scheduler_config: SchedulerConfig,
         params=None,
         seed: int = 0,
+        benchmarking: bool = False,
     ) -> "Worker":
         if params is None:
             runner = ModelRunner.from_random(
@@ -46,6 +47,7 @@ class Worker:
                 max_num_batched_tokens=scheduler_config.max_num_batched_tokens,
                 max_num_seqs=scheduler_config.max_num_seqs,
                 seed=seed,
+                benchmarking=benchmarking,
             )
         else:
             runner = ModelRunner(
@@ -55,6 +57,7 @@ class Worker:
                 block_size=cache_config.block_size,
                 max_num_batched_tokens=scheduler_config.max_num_batched_tokens,
                 max_num_seqs=scheduler_config.max_num_seqs,
+                benchmarking=benchmarking,
             )
         cache_engine = CacheEngine(
             num_layers=model_args.num_layers,

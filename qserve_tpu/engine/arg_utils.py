@@ -287,3 +287,26 @@ def auto_num_pages(model_args, cache_config: CacheConfig, hbm_fraction: float) -
     except Exception:
         free = 8 << 30  # assume 8GB free if the backend lacks memory stats
     return max(16, int(free * hbm_fraction) // page_bytes)
+
+
+@dataclasses.dataclass
+class AsyncEngineArgs(EngineArgs):
+    """Async-serving argument surface (reference: arg_utils.py:504-527 — kept
+    for API parity; the reference's async path is likewise vestigial).
+
+    engine_use_ray / worker_use_ray have no TPU meaning (no per-GPU worker
+    processes: one SPMD program spans the mesh); they are accepted and
+    ignored so vLLM-style launchers keep working.
+    """
+
+    engine_use_ray: bool = False
+    worker_use_ray: bool = False
+    max_log_len: int = 0
+
+    @staticmethod
+    def add_cli_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
+        parser = EngineArgs.add_cli_args(parser)
+        parser.add_argument("--engine-use-ray", action="store_true")
+        parser.add_argument("--worker-use-ray", action="store_true")
+        parser.add_argument("--max-log-len", type=int, default=0)
+        return parser

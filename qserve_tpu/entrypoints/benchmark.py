@@ -30,15 +30,29 @@ def add_args(parser):
                         default=int(os.environ.get("GLOBAL_BATCH_SIZE", "32")))
     parser.add_argument("--rounds", type=int, default=3)
     parser.add_argument("--results-csv", type=str, default="results.csv")
+    parser.add_argument("--profile-dir", type=str, default=None,
+                        help="write a jax.profiler trace of round 0 here "
+                             "(TPU equivalent of the reference's cuda-sync "
+                             "timing bracket, SURVEY.md §5)")
     return parser
 
 
-def run(engine, vocab_size, batch, prompt_len, gen_len, rounds, csv_path):
+def run(engine, vocab_size, batch, prompt_len, gen_len, rounds, csv_path,
+        profile_dir=None):
+    import contextlib
+
     from qserve_tpu.sampling_params import SamplingParams
 
     rng = np.random.default_rng(0)
     rows = []
     for rnd in range(rounds):
+        profiling = profile_dir is not None and rnd == min(1, rounds - 1)
+        if profiling:
+            import jax
+
+            prof_cm = jax.profiler.trace(profile_dir)
+        else:
+            prof_cm = contextlib.nullcontext()
         for i in range(batch):
             toks = rng.integers(4, vocab_size - 1, prompt_len).tolist()
             engine.add_request(
@@ -51,11 +65,14 @@ def run(engine, vocab_size, batch, prompt_len, gen_len, rounds, csv_path):
         t0 = time.time()
         finished = 0
         gen_tokens = 0
-        while engine.has_unfinished_requests():
-            for out in engine.step():
-                if out.finished:
-                    finished += 1
-                    gen_tokens += sum(len(o["token_ids"]) for o in out.outputs)
+        with prof_cm:
+            while engine.has_unfinished_requests():
+                for out in engine.step():
+                    if out.finished:
+                        finished += 1
+                        gen_tokens += sum(
+                            len(o["token_ids"]) for o in out.outputs
+                        )
         dt = time.time() - t0
         tput = gen_tokens / dt
         print(f"round {rnd}: {finished} seqs, {gen_tokens} tokens, "
@@ -82,7 +99,8 @@ def main():
     engine = engine_args.build_engine()
     vocab = engine.worker.model_runner.model_args.vocab_size
     run(engine, vocab, args.global_batch_size, args.prompt_len,
-        args.generation_len, args.rounds, args.results_csv)
+        args.generation_len, args.rounds, args.results_csv,
+        profile_dir=args.profile_dir)
 
 
 if __name__ == "__main__":

@@ -25,7 +25,8 @@ def model_args(name: str, precision: str):
     from qserve_tpu.config import QuantSpec
     from qserve_tpu.models import llama
 
-    quant = QuantSpec.from_precision(precision, -1)
+    gs = int(os.environ.get("QSERVE_BENCH_GROUP", "-1"))
+    quant = QuantSpec.from_precision(precision, gs)
     if name == "8b":  # Llama-3-8B geometry
         return llama.LlamaArgs(
             vocab_size=128256, hidden_size=4096, intermediate_size=14336,

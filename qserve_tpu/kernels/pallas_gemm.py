@@ -150,9 +150,9 @@ def _w4a8_chn_dispatch(a_i8, a_scale, a_sum, qw, s1, sz, out_dtype):
 # ---------------------------------------------------------------------------
 
 
-def _w4a8_grp_kernel(a_ref, w_ref, s2s_ref, s2z_ref, s1_ref, as_ref,
-                     out_ref, acc_ref, *, nk: int, bk2: int, k_half: int,
-                     group: int):
+def _w4a8_grp_kernel(a_ref, w_ref, s2s_lo_ref, s2z_lo_ref, s2s_hi_ref,
+                     s2z_hi_ref, s1_ref, as_ref, out_ref, acc_ref,
+                     *, nk: int, bk2: int, k_half: int, group: int):
     k = pl.program_id(2)
 
     @pl.when(k == 0)
@@ -161,11 +161,12 @@ def _w4a8_grp_kernel(a_ref, w_ref, s2s_ref, s2z_ref, s1_ref, as_ref,
 
     gpb = bk2 // group  # whole groups per nibble plane of this block
     lo, hi = unpack_w4_nibbles(w_ref[:], interpret_mode())  # [bk2, bn] int8
-    bn = lo.shape[1]
-    bm = a_ref.shape[0]
 
-    def plane(a_start, w_plane, s2_row0):
+    def plane(a_start, w_plane, s2s, s2z):
         # sum_g s2[g] * dot(a_g, q_g) + z2[g] * rowsum(a_g)
+        # (s2/z2 rows arrive as per-K-block BlockSpec slices, so all
+        # in-kernel row indexing is static — Mosaic rejects dynamic
+        # sub-tile row slices)
         acc = jnp.zeros(acc_ref.shape, jnp.int32)
         for gi in range(gpb):  # static unroll: gpb is small (bk2/group)
             a_g = a_ref[:, pl.ds(a_start + gi * group, group)]
@@ -175,13 +176,17 @@ def _w4a8_grp_kernel(a_ref, w_ref, s2s_ref, s2z_ref, s1_ref, as_ref,
                 preferred_element_type=jnp.int32,
             )  # [bm, bn]
             asum_g = jnp.sum(a_g.astype(jnp.int32), axis=1, keepdims=True)
-            s2 = s2s_ref[pl.ds(s2_row0 + gi, 1), :].astype(jnp.int32) & 0xFF
-            z2 = s2z_ref[pl.ds(s2_row0 + gi, 1), :].astype(jnp.int32)
+            s2 = s2s[gi : gi + 1, :] & 0xFF
+            z2 = s2z[gi : gi + 1, :]
             acc += dot_g * s2 + asum_g * z2
         return acc
 
-    acc_ref[:] += plane(k * bk2, lo, k * gpb)
-    acc_ref[:] += plane(k_half + k * bk2, hi, k_half // group + k * gpb)
+    s2s_lo = s2s_lo_ref[:].astype(jnp.int32)  # [gpb, bn]
+    s2z_lo = s2z_lo_ref[:].astype(jnp.int32)
+    s2s_hi = s2s_hi_ref[:].astype(jnp.int32)
+    s2z_hi = s2z_hi_ref[:].astype(jnp.int32)
+    acc_ref[:] += plane(k * bk2, lo, s2s_lo, s2z_lo)
+    acc_ref[:] += plane(k_half + k * bk2, hi, s2s_hi, s2z_hi)
 
     @pl.when(k == nk - 1)
     def _():
@@ -201,8 +206,11 @@ def w4a8_gemm_per_group_pallas(
     assert K2 % group_size == 0, "need K/2 divisible by group size"
     bn = _pick_bn(N)
     bm = _pick_bm(M, K)
-    bk2 = _pick_bk2(K2, bn, multiple=group_size)
+    # scale-row blocks are (bk2/group, bn): Mosaic wants the sublane dim
+    # divisible by 8, so K blocks carry whole groups in multiples of 8
+    bk2 = _pick_bk2(K2, bn, multiple=8 * group_size)
     nk = K2 // bk2
+    gpb = bk2 // group_size
     grid = (pl.cdiv(M, bm), N // bn, nk)
 
     return pl.pallas_call(
@@ -212,9 +220,15 @@ def w4a8_gemm_per_group_pallas(
         in_specs=[
             pl.BlockSpec((bm, K), lambda m, n, k: (m, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bk2, bn), lambda m, n, k: (k, n), memory_space=pltpu.VMEM),
-            # full K/G rows of the group scales for this N tile
-            pl.BlockSpec((G, bn), lambda m, n, k: (0, n), memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, bn), lambda m, n, k: (0, n), memory_space=pltpu.VMEM),
+            # per-K-block group-scale rows: low-nibble plane covers groups of
+            # K rows [k*bk2, (k+1)*bk2) = scale-row block k; the high plane's
+            # rows sit nk blocks later (global half-split packing)
+            pl.BlockSpec((gpb, bn), lambda m, n, k: (k, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gpb, bn), lambda m, n, k: (k, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gpb, bn), lambda m, n, k: (nk + k, n),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gpb, bn), lambda m, n, k: (nk + k, n),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bn), lambda m, n, k: (0, n), memory_space=pltpu.VMEM),
             pl.BlockSpec((bm, 1), lambda m, n, k: (m, 0), memory_space=pltpu.VMEM),
         ],
@@ -231,12 +245,15 @@ def w4a8_gemm_per_group_pallas(
             bytes_accessed=M * K + K * N // 2 + 2 * G * N + M * N * 2,
             transcendentals=0,
         ),
-    )(a_i8, qweight_packed, s2_scale, s2_zero, s1_scale.reshape(1, N),
-      a_scale.reshape(M, 1))
+    )(a_i8, qweight_packed, s2_scale, s2_zero, s2_scale, s2_zero,
+      s1_scale.reshape(1, N), a_scale.reshape(M, 1))
 
 
 @register_pallas("w4a8_gemm_per_group")
 def _w4a8_grp_dispatch(a_i8, a_scale, qw, s2s, s2z, s1, group_size, out_dtype):
+    K2 = a_i8.shape[1] // 2
+    if not interpret_mode() and K2 % (8 * group_size) != 0:
+        return None  # tiny-K shapes: aligned scale blocks impossible -> XLA
     return w4a8_gemm_per_group_pallas(
         a_i8, a_scale, qw, s2s, s2z, s1, group_size, out_dtype
     )

@@ -49,8 +49,6 @@ from jax.experimental.pallas import tpu as pltpu
 from qserve_tpu.kernels.ops import interpret_mode, register_pallas
 
 NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
-NBUF = 3  # chunk buffers in flight
-PCHUNK = 2  # pages per loop iteration
 
 
 def _unpack_nibbles(x_i8, interpret: bool):
@@ -94,6 +92,8 @@ def _paged_attn_kernel(
     kv4: bool,
     sm_scale: float,
     interpret: bool,
+    PCHUNK: int,
+    NBUF: int,
 ):
     b = pl.program_id(0)
     li = li_ref[0]
@@ -310,6 +310,12 @@ def paged_decode_attention_pallas(
 
     qr = q.astype(jnp.float32).reshape(B, H * G, D)
 
+    # short histories favor small page chunks (less masked tail compute);
+    # long histories amortize per-iteration fixed costs over more slots
+    maxP = block_tables.shape[1]
+    PCHUNK = 2 if maxP <= 8 else 4
+    NBUF = 3 if PCHUNK == 2 else 2
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(B,),
@@ -334,11 +340,11 @@ def paged_decode_attention_pallas(
             pltpu.SemaphoreType.DMA((NBUF, 2, PCHUNK)),
         ],
     )
-    maxP = block_tables.shape[1]
     out = pl.pallas_call(
         functools.partial(
             _paged_attn_kernel, ps=ps, H=H, G=G, D=D, kv4=kv4,
             sm_scale=sm_scale, interpret=interpret_mode(),
+            PCHUNK=PCHUNK, NBUF=NBUF,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, H * G, D), jnp.float32),

@@ -45,9 +45,9 @@ def random_params(key: jax.Array, args: VilaArgs, scale=0.02) -> VilaParams:
     return VilaParams(
         vision=clip.random_params(kv, args.vision, scale),
         projector=mm_projector.random_params(kp, args.projector, scale),
-        llm=llama.quantize_params(
-            llama.random_float_params(kl, args.llm, scale), args.llm
-        ),
+        # streaming quantization: never holds the full fp32 LLM (needed to
+        # build 8B-class VLMs on a 16GB chip)
+        llm=llama.random_quantized_params(kl, args.llm, scale),
     )
 
 

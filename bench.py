@@ -46,12 +46,31 @@ def model_args(name: str, precision: str):
 
 
 def main():
+    # fall back through batch sizes if the KV pool + weights overflow HBM on
+    # a smaller-memory chip (the driver runs this unattended)
+    batches = [int(os.environ.get("QSERVE_BENCH_BATCH", "128"))]
+    if "QSERVE_BENCH_BATCH" not in os.environ:
+        batches += [96, 64, 48]
+    last_err = None
+    for b in batches:
+        try:
+            return _run(b)
+        except Exception as e:  # RESOURCE_EXHAUSTED etc.
+            if "RESOURCE_EXHAUSTED" not in str(e) and "memory" not in str(e).lower():
+                raise
+            import sys
+
+            print(f"[bench] batch {b} OOM; retrying smaller", file=sys.stderr)
+            last_err = e
+    raise last_err
+
+
+def _run(B):
     from qserve_tpu.kernels import kv_cache as kvc
     from qserve_tpu.models import llama
 
     name = os.environ.get("QSERVE_BENCH_MODEL", "8b")
     precision = os.environ.get("QSERVE_BENCH_PRECISION", "w4a8kv4")
-    B = int(os.environ.get("QSERVE_BENCH_BATCH", "128"))
     ctx = int(os.environ.get("QSERVE_BENCH_CTX", "1280"))  # ~1024 in + mid-gen
     steps = int(os.environ.get("QSERVE_BENCH_STEPS", "16"))
     warmup = int(os.environ.get("QSERVE_BENCH_WARMUP", "3"))

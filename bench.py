@@ -33,6 +33,18 @@ def model_args(name: str, precision: str):
             num_layers=32, num_heads=32, num_kv_heads=8, head_dim=128,
             rope_theta=500000.0, quant=quant,
         )
+    if name == "7b":  # Llama-2-7B geometry
+        return llama.LlamaArgs(
+            vocab_size=32000, hidden_size=4096, intermediate_size=11008,
+            num_layers=32, num_heads=32, num_kv_heads=32, head_dim=128,
+            quant=quant,
+        )
+    if name == "13b":  # Llama-2-13B geometry
+        return llama.LlamaArgs(
+            vocab_size=32000, hidden_size=5120, intermediate_size=13824,
+            num_layers=40, num_heads=40, num_kv_heads=40, head_dim=128,
+            quant=quant,
+        )
     if name == "1b":  # TinyLlama-1.1B geometry
         return llama.LlamaArgs(
             vocab_size=32000, hidden_size=2048, intermediate_size=5632,

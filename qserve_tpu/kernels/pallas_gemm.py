@@ -64,9 +64,14 @@ def _pick_bm(M: int, K: int) -> int:
 
 
 def _pick_bk2(K2: int, bn: int, multiple: int = 1) -> int:
-    # ~1MB weight DMA per grid step
+    # ~1MB weight DMA per grid step; K blocks must also keep the dynamic
+    # activation lane slices 128-aligned
+    multiple = max(multiple, 128) if K2 % 128 == 0 else multiple
     target = max(128, (1 << 20) // bn)
-    return _largest_divisor(K2, target, multiple)
+    best = _largest_divisor(K2, target, multiple)
+    if best < 512 and K2 * bn <= (3 << 20):
+        return K2  # awkward K (e.g. 11008): one whole-K block instead
+    return best
 
 
 # ---------------------------------------------------------------------------

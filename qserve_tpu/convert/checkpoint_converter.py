@@ -3,8 +3,9 @@
 Reference counterpart: scripts/ckpt_converter/checkpoint_converter.py, which
 converts DeepCompressor fake-quant artifacts (model.pt + scale.pt) into
 packed buffers via the CUDA-layout from_linear packers. Here the packed
-format targets the TPU layouts (quant/packing.py, [K, N] with half-tile
-nibble packing) and there are two sources:
+format targets the TPU layouts (quant/packing.py, [K, N] with global
+half-split nibble packing: low nibbles hold rows [0, K/2), high nibbles
+rows [K/2, K)) and there are two sources:
 
   * a plain fp16/bf16 HF checkpoint, self-quantized with RTN QoQ math
     (no external dependency — scripts/convert_checkpoint.py CLI);
@@ -33,6 +34,12 @@ from qserve_tpu.logger import init_logger
 from qserve_tpu.models import llama
 
 logger = init_logger(__name__)
+
+# W4 nibble-packing layout version. v1 was the half-tile (PACK_TILE=512)
+# layout; v2 is the global half-split layout (commit ed436c2). Checkpoints
+# written before versioning carry no marker and are treated as v1 (rejected):
+# loading a v1 checkpoint with the v2 kernels would silently produce garbage.
+PACK_LAYOUT_VERSION = 2
 
 _LIN_FIELDS = {
     "w4chn": lin.W4ChnLinear._fields,
@@ -84,6 +91,7 @@ def save_packed_checkpoint(
     save_file(flat, os.path.join(out_dir, "model.safetensors"))
     meta = dataclasses.asdict(args)
     meta["quant"] = dataclasses.asdict(args.quant)
+    meta["pack_layout"] = PACK_LAYOUT_VERSION
     meta.pop("logit_dtype", None)
     with open(os.path.join(out_dir, "qserve_tpu_config.json"), "w") as f:
         json.dump(meta, f, indent=2)
@@ -92,6 +100,17 @@ def save_packed_checkpoint(
 
 def load_packed_checkpoint(path: str, args: llama.LlamaArgs) -> llama.LlamaParams:
     from safetensors.numpy import load_file
+
+    cfg_path = os.path.join(path, "qserve_tpu_config.json")
+    if os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            layout = json.load(f).get("pack_layout", 1)
+        if layout != PACK_LAYOUT_VERSION:
+            raise ValueError(
+                f"Packed checkpoint at {path} uses W4 pack layout v{layout}, "
+                f"but this build expects v{PACK_LAYOUT_VERSION}. Re-run the "
+                "checkpoint converter against the original weights."
+            )
 
     flat = load_file(os.path.join(path, "model.safetensors"))
 
@@ -132,6 +151,7 @@ def load_packed_config(path: str) -> llama.LlamaArgs:
     quant = QuantSpec(**meta.pop("quant"))
     meta.pop("tp_axis", None)
     meta.pop("logit_dtype", None)
+    meta.pop("pack_layout", None)
     return llama.LlamaArgs(quant=quant, **meta)
 
 

@@ -62,10 +62,12 @@ class PrefixPool:
         ids = self._truncate(token_ids)
         if not ids:
             return None
-        key = hash(ids)
-        if key not in self.prefixes:
-            self.prefixes[key] = Prefix(ids, self.block_size)
-        return self.prefixes[key]
+        # Keyed by the token tuple itself (not its hash): a hash collision
+        # would silently attach another prompt's shared pages to this request
+        # and corrupt live sequences' KV reads.
+        if ids not in self.prefixes:
+            self.prefixes[ids] = Prefix(ids, self.block_size)
+        return self.prefixes[ids]
 
     def __len__(self) -> int:
         return len(self.prefixes)

@@ -237,6 +237,17 @@ def append_all_layers(
         )
         stage_pages = jnp.full((NS + 1,), -1, jnp.int32)
         stage_pages = stage_pages.at[stage_safe].set(page_ids, mode="drop")
+        # Dedup destination pages: prefix sharing can put one physical page
+        # in two prompts' tables within the same prefill batch; the kernel
+        # assumes distinct pages (overlapping in-flight DMAs otherwise).
+        # Duplicate payloads are identical (same prefix tokens, deterministic
+        # quantization), so keep the first occurrence, dump the rest.
+        sp = stage_pages[:NS]
+        dup = (sp[:, None] == sp[None, :]) & (
+            jnp.arange(NS)[None, :] < jnp.arange(NS)[:, None]
+        )
+        sp = jnp.where((sp >= 0) & jnp.any(dup, axis=1), -1, sp)
+        stage_pages = stage_pages.at[:NS].set(sp)
         data, scales = kv_write_pages_inplace(
             cache.data, cache.scales, staged_d, staged_s, stage_pages[:NS]
         )

@@ -9,6 +9,7 @@ this assembly in Python/torch per step, model_runner.py:333-611).
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -22,7 +23,6 @@ logger = init_logger(__name__)
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "marshal.cpp")
-_SO = os.path.join(_HERE, "marshal.so")
 _lock = threading.Lock()
 _lib = None
 _tried = False
@@ -31,14 +31,18 @@ _I32P = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
 
 
 def _build() -> Optional[str]:
+    # Cache keyed on the source hash, not mtime (git checkouts don't preserve
+    # mtimes, and a stale binary from another arch/glibc must never load).
     try:
-        if (not os.path.exists(_SO)
-                or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+        with open(_SRC, "rb") as f:
+            digest = hashlib.sha256(f.read()).hexdigest()[:16]
+        so = os.path.join(_HERE, f"marshal-{digest}.so")
+        if not os.path.exists(so):
             subprocess.run(
-                ["g++", "-O2", "-shared", "-fPIC", "-o", _SO, _SRC],
+                ["g++", "-O2", "-shared", "-fPIC", "-o", so, _SRC],
                 check=True, capture_output=True, timeout=120,
             )
-        return _SO
+        return so
     except Exception as e:  # no toolchain / read-only fs -> fallback
         logger.warning("native marshal build failed (%s); using numpy fallback", e)
         return None
@@ -57,7 +61,11 @@ def get_lib():
         so = _build()
         if so is None:
             return None
-        lib = ctypes.CDLL(so)
+        try:
+            lib = ctypes.CDLL(so)
+        except OSError as e:  # wrong arch/glibc -> fallback, don't crash
+            logger.warning("native marshal load failed (%s); using numpy fallback", e)
+            return None
         lib.qs_pack_decode.argtypes = [
             ctypes.c_int32, _I32P, _I32P, _I32P, _I32P,
             ctypes.c_int32, ctypes.c_int32, _I32P, _I32P, _I32P,
@@ -137,7 +145,21 @@ def pack_prefill(
             n, pflat, poffs, tflat, toffs, block_size, itok, T_pad, B_pad,
             *outs, last_idx,
         )
+        if total < 0:
+            raise ValueError(
+                f"pack_prefill overflow: {n} prompts ({int(poffs[-1])} tokens) "
+                f"do not fit T_pad={T_pad} / B_pad={B_pad} or a page table is "
+                "too short"
+            )
         return (*outs, last_idx, int(total))
+    total = sum(len(p) for p in prompts)
+    if n > B_pad or total > T_pad or any(
+        p and (len(p) - 1) // block_size >= len(t) for p, t in zip(prompts, tables)
+    ):
+        raise ValueError(
+            f"pack_prefill overflow: {n} prompts ({total} tokens) do not fit "
+            f"T_pad={T_pad} / B_pad={B_pad} or a page table is too short"
+        )
     tokens, positions, segids, pages, slots, img_idx = outs
     tokens[:] = 0
     positions[:] = 0

@@ -48,7 +48,10 @@ void qs_pack_decode(
 // positions / segment ids / destination pages / slots, plus last-token index
 // per sequence. image_token (e.g. -200) positions get img_idx assigned in
 // stream order; pass image_token = INT32_MIN to disable.
-// Returns the total (unpadded) token count.
+// Returns the total (unpadded) token count, or -1 if the prompts would
+// overflow T_pad / B_pad or a prompt outruns its page table — callers
+// normally guarantee capacity via the scheduler + bucket(), but a miscount
+// must surface as a Python exception, not silent heap corruption.
 int32_t qs_pack_prefill(
     int32_t n,
     const int32_t* prompts_flat,
@@ -75,12 +78,16 @@ int32_t qs_pack_prefill(
     memset(out_img_idx, 0, sizeof(int32_t) * T_pad);
     memset(out_last_idx, 0, sizeof(int32_t) * B_pad);
 
+    if (n > B_pad) return -1;
     int32_t t = 0;
     int32_t n_img_tok = 0;
     for (int32_t i = 0; i < n; ++i) {
         const int32_t* prompt = prompts_flat + prompt_offsets[i];
         const int32_t plen = prompt_offsets[i + 1] - prompt_offsets[i];
         const int32_t* table = tables_flat + table_offsets[i];
+        const int32_t tlen = table_offsets[i + 1] - table_offsets[i];
+        if (t + plen > T_pad) return -1;
+        if (plen > 0 && (plen - 1) / block_size >= tlen) return -1;
         for (int32_t p = 0; p < plen; ++p, ++t) {
             out_tokens[t] = prompt[p];
             out_positions[t] = p;

@@ -139,6 +139,12 @@ class ParallelConfig:
     data_parallel_size: int = 1
     pipeline_parallel_size: int = 1
 
+    def __post_init__(self) -> None:
+        if self.pipeline_parallel_size != 1:
+            # match the reference's explicit rejection (config.py:281-282)
+            # rather than silently ignoring the flag
+            raise NotImplementedError("Pipeline parallelism is not supported yet.")
+
     @property
     def world_size(self) -> int:
         return (

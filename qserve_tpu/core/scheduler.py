@@ -287,6 +287,14 @@ class Scheduler:
                 else PreemptionMode.SWAP
             )
         if mode == PreemptionMode.SWAP and not self.block_manager.can_swap_out(group):
+            if group.get_max_num_running_seqs() > 1:
+                # forked candidates can't re-enter the prompt queue (one
+                # waiting seq per group); without swap space this is fatal,
+                # matching the reference's swap-space RuntimeError
+                raise RuntimeError(
+                    "cannot preempt a multi-candidate group without CPU swap "
+                    "space; increase num_cpu_pages or reduce load"
+                )
             mode = PreemptionMode.RECOMPUTE
         if mode == PreemptionMode.RECOMPUTE:
             for seq in group.get_seqs(SequenceStatus.RUNNING):

@@ -92,8 +92,14 @@ class LLMEngine:
                 prompt_token_ids = tokenizer_image_token(prompt, self.tokenizer)
             else:
                 prompt_token_ids = self.tokenizer.encode(prompt)
-        if sampling_params.n != 1 or sampling_params.best_of != 1:
-            raise NotImplementedError("n>1 / best_of>1 not yet supported")
+        if sampling_params.use_beam_search:
+            raise NotImplementedError("beam search not supported")
+        if sampling_params.best_of > 1 and not getattr(
+            self.worker.model_runner, "supports_multi_sample", False
+        ):
+            raise NotImplementedError(
+                "n>1 / best_of>1 not supported by this model runner"
+            )
 
         if is_vlm_request:
             # expand each image tag to tokens_per_image marker slots and
@@ -162,14 +168,28 @@ class LLMEngine:
 
         outputs: List[RequestOutput] = []
         touched_groups = []
+        extra = getattr(self.worker.model_runner, "last_extra_samples", {})
         for seq_id, token in results:
             group, seq = self._seq_index[seq_id]
-            seq.append_token_id(token)
-            self._num_generated += 1
-            self._check_stop(seq, group.sampling_params)
-            if seq.is_finished():
-                self._finalize_sequence(seq, group.sampling_params)
-                self.scheduler.free_seq(seq)
+            seqs = [(seq, token)]
+            if sched.prompt_run and group.sampling_params.best_of > 1:
+                # fork the prompt into best_of candidates sharing its pages
+                # (copy-on-write); each gets an independently sampled first
+                # token (reference: sampling_params.py n/best_of + fork at
+                # core/block_manager.py:227-233)
+                for extra_token in extra.get(seq_id, []):
+                    child = seq.fork(next(self.seq_counter))
+                    self.scheduler.fork_seq(seq, child)
+                    group.add(child)
+                    self._seq_index[child.seq_id] = (group, child)
+                    seqs.append((child, extra_token))
+            for s, tok in seqs:
+                s.append_token_id(tok)
+                self._num_generated += 1
+                self._check_stop(s, group.sampling_params)
+                if s.is_finished():
+                    self._finalize_sequence(s, group.sampling_params)
+                    self.scheduler.free_seq(s)
             touched_groups.append(group)
 
         self.scheduler.free_finished_seq_groups()
@@ -203,17 +223,60 @@ class LLMEngine:
             seq.status = SequenceStatus.FINISHED_LENGTH_CAPPED
             return
         if params.stop and self.tokenizer is not None:
-            text = self.tokenizer.decode(
+            delta = self._detokenize_incrementally(seq, params)
+            if not delta:
+                return
+            seq.output_text += delta
+            # only the tail can contain a new match: the stop string must
+            # overlap the freshly appended delta
+            max_stop = max(len(s) for s in params.stop)
+            start = max(0, len(seq.output_text) - len(delta) - max_stop + 1)
+            for stop_str in params.stop:
+                idx = seq.output_text.find(stop_str, start)
+                if idx != -1:
+                    seq.output_text = seq.output_text[:idx]
+                    seq.status = SequenceStatus.FINISHED_STOPPED
+                    return
+
+    def _detokenize_incrementally(self, seq: Sequence, params: SamplingParams) -> str:
+        """O(new tokens) per step via the token-string buffer on Sequence
+        (prefix_offset / read_offset), instead of re-decoding the whole
+        output every step. Multi-token characters are held back until the
+        replacement char resolves."""
+        tok = self.tokenizer
+        if not hasattr(tok, "convert_ids_to_tokens") or not hasattr(
+            tok, "convert_tokens_to_string"
+        ):
+            # fallback: full decode (rare tokenizers without the slow API)
+            text = tok.decode(
                 seq.data.output_token_ids,
                 skip_special_tokens=params.skip_special_tokens,
             )
-            for stop_str in params.stop:
-                idx = text.find(stop_str)
-                if idx != -1:
-                    seq.output_text = text[:idx]
-                    seq.status = SequenceStatus.FINISHED_STOPPED
-                    return
-            seq.output_text = text
+            delta = text[len(seq.output_text):] if text.startswith(seq.output_text) else text
+            if not text.startswith(seq.output_text):
+                seq.output_text = ""
+            return delta
+        if seq.tokens is None:
+            # a few trailing prompt tokens give sentencepiece its context
+            # (leading-space handling) without entering output_text
+            ctx = seq.data.prompt_token_ids[-6:]
+            seq.tokens = tok.convert_ids_to_tokens(ctx)
+            seq.prefix_offset = max(len(seq.tokens) - 5, 0)
+            seq.read_offset = len(seq.tokens)
+        new_id = seq.get_last_token_id()
+        if params.skip_special_tokens and new_id in getattr(tok, "all_special_ids", ()):
+            return ""
+        seq.tokens.extend(tok.convert_ids_to_tokens([new_id]))
+        prefix_text = tok.convert_tokens_to_string(
+            seq.tokens[seq.prefix_offset:seq.read_offset]
+        )
+        new_text = tok.convert_tokens_to_string(seq.tokens[seq.prefix_offset:])
+        if new_text.endswith("�"):
+            return ""  # partial multi-byte char; wait for more tokens
+        delta = new_text[len(prefix_text):]
+        seq.prefix_offset = seq.read_offset
+        seq.read_offset = len(seq.tokens)
+        return delta
 
     def _finalize_sequence(self, seq: Sequence, params: SamplingParams) -> None:
         if self.tokenizer is None:

@@ -263,6 +263,14 @@ class RequestOutput:
 
     @classmethod
     def from_seq_group(cls, seq_group: SequenceGroup) -> "RequestOutput":
+        seqs = seq_group.get_seqs()
+        n = seq_group.sampling_params.n
+        if len(seqs) > n:
+            # best_of > n: return the n best candidates by cumulative logprob
+            # (reference sampling_params semantics; ties keep creation order)
+            seqs = sorted(
+                seqs, key=lambda s: s.data.cumulative_logprob, reverse=True
+            )[:n]
         outputs = [
             dict(
                 index=i,
@@ -270,7 +278,7 @@ class RequestOutput:
                 token_ids=list(seq.data.output_token_ids),
                 finish_reason=SequenceStatus.get_finished_reason(seq.status),
             )
-            for i, seq in enumerate(seq_group.get_seqs())
+            for i, seq in enumerate(seqs)
         ]
         return cls(
             request_id=seq_group.request_id,

@@ -46,6 +46,19 @@ def _prefill_step(
 @functools.partial(
     jax.jit, static_argnames=("args",), donate_argnames=("kv",)
 )
+def _prefill_step_logits(
+    params, kv, tok, pos, seg, pages, slots, last_idx, temp, topp, topk, key, *, args
+):
+    """Prefill that also returns last-token logits (n>1 / best_of>1 prompts:
+    the host draws the extra candidate tokens from these rows)."""
+    logits, kv = llama.prefill(params, kv, tok, pos, seg, pages, slots, last_idx, args)
+    toks = sampler_mod.sample(logits, temp, topp, topk, key)
+    return toks, kv, logits.astype(jnp.float32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("args",), donate_argnames=("kv",)
+)
 def _decode_step(
     params, kv, tok, block_tables, context_lens, temp, topp, topk, key, *, args
 ):
@@ -54,8 +67,38 @@ def _decode_step(
     return toks, kv
 
 
+def sample_host(
+    logits: np.ndarray, sp, rng: np.random.Generator, count: int
+) -> List[int]:
+    """Draw `count` tokens from one logits row with sp's temperature /
+    top-k / top-p (host-side; used only for the extra best_of candidates
+    of a prompt, off the hot path). Mirrors layers/sampler.py."""
+    logits = np.asarray(logits, np.float64)
+    if sp.temperature < _SAMPLING_EPS:
+        return [int(np.argmax(logits))] * count
+    scaled = logits / sp.temperature
+    V = scaled.shape[0]
+    if sp.top_k not in (-1, 0) and sp.top_k < V:
+        kth = np.partition(scaled, -sp.top_k)[-sp.top_k]
+        scaled = np.where(scaled >= kth, scaled, -np.inf)
+    if sp.top_p < 1.0:
+        order = np.argsort(scaled)[::-1]
+        probs = np.exp(scaled[order] - np.max(scaled))
+        probs /= probs.sum()
+        keep = (np.cumsum(probs) - probs) < sp.top_p
+        thresh = np.min(np.where(keep, scaled[order], np.inf))
+        scaled = np.where(scaled >= thresh, scaled, -np.inf)
+    p = np.exp(scaled - np.max(scaled))
+    p /= p.sum()
+    return [int(t) for t in rng.choice(V, size=count, p=p)]
+
+
 class ModelRunner:
     """Holds model params + compiled step functions for one SPMD program."""
+
+    # n>1 / best_of>1 prompts supported (extra candidates host-sampled from
+    # prefill logits); runners without this stay single-sample
+    supports_multi_sample = True
 
     def __init__(
         self,
@@ -75,6 +118,9 @@ class ModelRunner:
         self.max_num_batched_tokens = max_num_batched_tokens
         self.max_num_seqs = max_num_seqs
         self._key = jax.random.PRNGKey(rng_seed)
+        self._host_rng = np.random.default_rng(rng_seed + 1)
+        # seq_id -> extra candidate tokens from the latest prefill (best_of>1)
+        self.last_extra_samples: Dict[int, List[int]] = {}
         self._step = 0
         # benchmarking mode (reference: _process_model_outputs_benchmark,
         # llm_engine.py:508-520, skips stop checks): while the decode batch
@@ -143,14 +189,29 @@ class ModelRunner:
         )
         temp, topp, topk = self._sampling_arrays(sp_list, B)
 
-        toks, cache_engine.cache = _prefill_step(
+        self.last_extra_samples = {}
+        want_extra = any(sp.best_of > 1 for sp in sp_list)
+        step_args = (
             self.params,
             cache_engine.cache,
             *map(jnp.asarray, (tok, pos, sg, pg, sl, li)),
             temp, topp, topk,
             self._next_key(),
-            args=self.model_args,
         )
+        if want_extra:
+            toks, cache_engine.cache, logits = _prefill_step_logits(
+                *step_args, args=self.model_args
+            )
+            logits_np = np.asarray(jax.device_get(logits))
+            for i, (sid, sp) in enumerate(zip(seq_order, sp_list)):
+                if sp.best_of > 1:
+                    self.last_extra_samples[sid] = sample_host(
+                        logits_np[i], sp, self._host_rng, sp.best_of - 1
+                    )
+        else:
+            toks, cache_engine.cache = _prefill_step(
+                *step_args, args=self.model_args
+            )
         out = np.asarray(jax.device_get(toks))
         return [(sid, int(out[i])) for i, sid in enumerate(seq_order)]
 

@@ -35,6 +35,9 @@ logger = init_logger(__name__)
 class TPModelRunner(ModelRunner):
     """ModelRunner whose step functions run under shard_map over ('dp','tp')."""
 
+    # the TP prefill fn does not expose last-token logits yet
+    supports_multi_sample = False
+
     def __init__(
         self,
         float_params: dict,

@@ -52,6 +52,9 @@ def _vlm_prefill_step(
 class VLMModelRunner(ModelRunner):
     """ModelRunner whose prefill splices vision-tower embeddings."""
 
+    # the VLM prefill fn does not expose last-token logits yet
+    supports_multi_sample = False
+
     def __init__(self, vila_params: vila.VilaParams, vila_args: vila.VilaArgs,
                  *args, **kw):
         super().__init__(vila_params.llm, vila_args.llm, *args, **kw)

@@ -158,6 +158,58 @@ class TestEngineE2E:
         assert len(toks) == 12
         assert all(0 <= t < 128 for t in toks)
 
+    def test_n2_returns_two_candidates(self):
+        engine = build_engine()
+        engine.add_request(
+            "r0", prompt_token_ids=[1, 2, 3, 4],
+            sampling_params=SamplingParams(n=2, max_tokens=6, temperature=0.8),
+        )
+        outputs, _ = run_to_completion(engine)
+        out = outputs["r0"]
+        assert len(out.outputs) == 2
+        for cand in out.outputs:
+            assert len(cand["token_ids"]) == 6
+            assert cand["finish_reason"] == "length"
+        # fork/CoW pages all released
+        assert engine.scheduler.block_manager.get_num_free_device_pages() == 64
+
+    def test_n2_greedy_matches_single(self):
+        """Greedy n=2: both candidates must equal the n=1 result (the fork
+        shares prompt pages; divergence would mean CoW corrupted the KV)."""
+        engine = build_engine()
+        engine.add_request(
+            "solo", prompt_token_ids=[7, 8, 9],
+            sampling_params=SamplingParams(max_tokens=6, temperature=0.0),
+        )
+        solo, _ = run_to_completion(engine)
+        engine2 = build_engine()
+        engine2.add_request(
+            "dual", prompt_token_ids=[7, 8, 9],
+            sampling_params=SamplingParams(n=2, max_tokens=6, temperature=0.0),
+        )
+        dual, _ = run_to_completion(engine2)
+        assert len(dual["dual"].outputs) == 2
+        for cand in dual["dual"].outputs:
+            assert cand["token_ids"] == solo["solo"].outputs[0]["token_ids"]
+
+    def test_best_of_exceeds_n(self):
+        engine = build_engine()
+        engine.add_request(
+            "r0", prompt_token_ids=[1, 2, 3],
+            sampling_params=SamplingParams(
+                n=2, best_of=4, max_tokens=5, temperature=0.8
+            ),
+        )
+        outputs, _ = run_to_completion(engine)
+        assert len(outputs["r0"].outputs) == 2
+        assert engine.scheduler.block_manager.get_num_free_device_pages() == 64
+
+    def test_pipeline_parallel_rejected(self):
+        from qserve_tpu.config import ParallelConfig
+
+        with pytest.raises(NotImplementedError):
+            ParallelConfig(pipeline_parallel_size=2)
+
     def test_abort_releases_pages(self):
         engine = build_engine()
         engine.add_request(
@@ -169,3 +221,68 @@ class TestEngineE2E:
         engine.abort_request("r0")
         assert not engine.has_unfinished_requests()
         assert engine.scheduler.block_manager.get_num_free_device_pages() == 64
+
+
+class CharTokenizer:
+    """One lowercase letter per token id — enough to drive detokenization."""
+
+    eos_token_id = None
+    all_special_ids = ()
+
+    def decode(self, ids, skip_special_tokens=True):
+        return "".join(chr(97 + (i % 26)) for i in ids)
+
+    def encode(self, text):
+        return [ord(c) - 97 for c in text]
+
+    def convert_ids_to_tokens(self, ids, skip_special_tokens=False):
+        return [chr(97 + (i % 26)) for i in ids]
+
+    def convert_tokens_to_string(self, tokens):
+        return "".join(tokens)
+
+
+class TestStopStrings:
+    def _engine(self):
+        engine = build_engine()
+        engine.tokenizer = CharTokenizer()
+        return engine
+
+    def test_stop_string_trims_output(self):
+        engine = self._engine()
+        engine.add_request(
+            "probe", prompt_token_ids=[1, 2, 3],
+            sampling_params=SamplingParams(max_tokens=10, temperature=0.0),
+        )
+        outputs, _ = run_to_completion(engine)
+        full_text = outputs["probe"].outputs[0]["text"]
+        assert len(full_text) == 10
+        stop = full_text[3:5]  # stop at the 4th generated char
+
+        engine2 = self._engine()
+        engine2.add_request(
+            "r0", prompt_token_ids=[1, 2, 3],
+            sampling_params=SamplingParams(
+                max_tokens=10, temperature=0.0, stop=[stop]
+            ),
+        )
+        outputs2, _ = run_to_completion(engine2)
+        out = outputs2["r0"].outputs[0]
+        assert out["finish_reason"] == "stop"
+        assert out["text"] == full_text[: full_text.find(stop)]
+
+    def test_stop_string_incremental_state(self):
+        """The stop-string scan must be O(new tokens): the token-string
+        buffer advances instead of re-decoding from scratch."""
+        engine = self._engine()
+        engine.add_request(
+            "r0", prompt_token_ids=[1, 2, 3],
+            sampling_params=SamplingParams(
+                max_tokens=8, temperature=0.0, stop=["zzzz"]  # never hits
+            ),
+        )
+        outputs, _ = run_to_completion(engine)
+        group, seq = engine._seq_index[0]
+        assert seq.tokens is not None and len(seq.tokens) > 0
+        assert seq.read_offset == len(seq.tokens)
+        assert len(outputs["r0"].outputs[0]["text"]) == 8

@@ -26,12 +26,13 @@ def model_args(name: str, precision: str):
     from qserve_tpu.models import llama
 
     gs = int(os.environ.get("QSERVE_BENCH_GROUP", "-1"))
+    scan = os.environ.get("QSERVE_BENCH_SCAN", "1") == "1"
     quant = QuantSpec.from_precision(precision, gs)
     if name == "8b":  # Llama-3-8B geometry
         return llama.LlamaArgs(
             vocab_size=128256, hidden_size=4096, intermediate_size=14336,
             num_layers=32, num_heads=32, num_kv_heads=8, head_dim=128,
-            rope_theta=500000.0, quant=quant,
+            rope_theta=500000.0, quant=quant, scan_layers=scan,
         )
     if name == "7b":  # Llama-2-7B geometry
         return llama.LlamaArgs(

@@ -1,0 +1,131 @@
+"""Decode-step ablation: time full step vs step-with-one-part-disabled.
+
+Chained-step differencing at the full decode shape (the only reliable clock
+through the tunnel). Each variant keeps data dependencies so XLA cannot
+constant-fold the remaining work (memory: zeroed components fold away
+downstream work — here disabled parts are REPLACED by cheap dependent ops).
+
+Usage: python benchmarks/ablate_decode.py [B] [CTX] [variant ...]
+Variants: full noattn noappend nolmhead nogemmo attnonly
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+B = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+CTX = int(sys.argv[2]) if len(sys.argv) > 2 else 1280
+VARIANTS = sys.argv[3:] or ["full", "noattn", "noappend", "nolmhead", "attnonly"]
+PAGE = 256
+
+
+def main():
+    from qserve_tpu.config import QuantSpec
+    from qserve_tpu.kernels import attention, kv_cache as kvc, ops
+    from qserve_tpu.layers import linear as lin, rope
+    from qserve_tpu.models import llama
+
+    args = llama.LlamaArgs(
+        vocab_size=128256, hidden_size=4096, intermediate_size=14336,
+        num_layers=32, num_heads=32, num_kv_heads=8, head_dim=128,
+        rope_theta=500000.0, quant=QuantSpec.from_precision("w4a8kv4"),
+    )
+    maxP = -(-(CTX + 64) // PAGE)
+    params = llama.random_quantized_params(jax.random.PRNGKey(0), args)
+    kv0 = kvc.create_kv_cache(
+        args.num_layers, B * maxP + 8, args.num_kv_heads, PAGE, args.head_dim,
+        args.quant.kv_bits,
+    )
+    jax.block_until_ready(params.layers)
+    bt = jnp.asarray(
+        np.arange(B * maxP, dtype=np.int32).reshape(B, maxP)
+    )
+    tok0 = jnp.arange(B, dtype=jnp.int32) % args.vocab_size
+
+    def make_decode(variant):
+        def decode(params, kv, token_ids, block_tables, context_lens):
+            ps = kv.page_size
+            positions = context_lens - 1
+            page_ids = jnp.take_along_axis(
+                block_tables, (positions // ps)[:, None], axis=1
+            )[:, 0]
+            slots = positions % ps
+            h = params.embed[token_ids].astype(jnp.bfloat16)
+            cos, sin = rope.rope_cos_sin(positions, args.head_dim, args.rope_theta)
+
+            def attend(q, k, v, li):
+                if variant == "noattn":
+                    # cheap dependent stand-in: keeps q/k/v alive
+                    return q + k.mean() + v.mean()
+                return attention.paged_decode_attention(
+                    q, kv, block_tables, context_lens, li, k, v,
+                    args.quant.kv_bits,
+                )
+
+            h, (k_all, v_all) = llama._run_layers(params, h, cos, sin, args, attend)
+            if variant == "noappend":
+                kv2 = kv  # appends skipped (k_all/v_all still computed)
+            else:
+                kv2 = kvc.append_all_layers(
+                    kv, k_all, v_all, page_ids, slots,
+                    args.quant.kv_bits, True, unique_pages=True,
+                )
+            h = ops.rmsnorm(h, params.final_ln, args.rms_eps)
+            if variant == "nolmhead":
+                return h.sum(axis=-1).astype(jnp.float32), kv2
+            logits = ops.matmul(h, params.lm_head, jnp.float32)
+            return jnp.argmax(logits, axis=-1).astype(jnp.float32), kv2
+
+        def attn_only(params, kv, token_ids, block_tables, context_lens):
+            h = params.embed[token_ids].astype(jnp.bfloat16)
+            q = jnp.tile(h[:, :128][:, None, :], (1, 32, 1))
+            k = q[:, :8] * 0.5
+            v = q[:, :8] * 0.25
+
+            def body(carry, li):
+                o = attention.paged_decode_attention(
+                    carry, kv, block_tables, context_lens, li, k, v, 4
+                )
+                return o.astype(jnp.bfloat16), None
+
+            o, _ = jax.lax.scan(
+                body, q.astype(jnp.bfloat16),
+                jnp.arange(args.num_layers, dtype=jnp.int32),
+            )
+            return o.sum(axis=(1, 2)), kv
+
+        fn = attn_only if variant == "attnonly" else decode
+        return jax.jit(fn, donate_argnames=("kv",))
+
+    for variant in VARIANTS:
+        step = make_decode(variant)
+        kv = jax.tree.map(jnp.copy, kv0)
+
+        def chain(n, tok):
+            nonlocal kv
+            t0 = time.time()
+            for i in range(n):
+                out, kv = step(params, kv, tok, bt, jnp.full((B,), CTX + i, jnp.int32))
+                tok = (out.astype(jnp.int32) % args.vocab_size + tok) % args.vocab_size
+            np.asarray(tok)
+            return time.time() - t0
+
+        chain(3, tok0)  # compile + warm
+        t_short = chain(4, tok0)
+        t_long = chain(16, tok0)
+        dt = (t_long - t_short) / 12
+        print(f"{variant:<10} step = {dt*1e3:7.2f} ms", flush=True)
+        del kv
+
+
+if __name__ == "__main__":
+    main()

@@ -27,20 +27,22 @@ INT8_TOPS = 394.0
 BF16_TFLOPS = 197.0
 
 
-def timed_loop(op, first_arg, reps: int = 32):
+def timed_loop(op, first_arg, reps: int = 32, consts=()):
     """Average seconds per op() call, measured on device.
 
-    op: fn(first_arg_like) -> array; first_arg is rolled 1 row per iteration
-    to defeat loop-invariant hoisting; cost of the roll is measured and
-    subtracted via the two-length difference.
+    op: fn(first_arg_like, *consts) -> array; first_arg is rolled 1 row per
+    iteration to defeat loop-invariant hoisting; cost of the roll is measured
+    and subtracted via the two-length difference. Pass big loop-invariant
+    operands (weights, caches) via `consts` so they enter as jit ARGUMENTS —
+    a closure capture materializes them to the host as lowering constants.
     """
 
     def make(R):
         @jax.jit
-        def run(a):
+        def run(a, *cs):
             def body(i, carry):
                 a, acc = carry
-                out = op(a)
+                out = op(a, *cs)
                 acc = acc + out.reshape(-1)[0].astype(jnp.float32)
                 return (jnp.roll(a, 1, axis=0), acc)
 
@@ -50,10 +52,10 @@ def timed_loop(op, first_arg, reps: int = 32):
         return run
 
     short, long_ = make(2), make(2 + reps)
-    s = short(first_arg); np.asarray(s)  # compile both, sync
-    l = long_(first_arg); np.asarray(l)
-    t0 = time.time(); np.asarray(short(first_arg)); t1 = time.time() - t0
-    t0 = time.time(); np.asarray(long_(first_arg)); t2 = time.time() - t0
+    s = short(first_arg, *consts); np.asarray(s)  # compile both, sync
+    l = long_(first_arg, *consts); np.asarray(l)
+    t0 = time.time(); np.asarray(short(first_arg, *consts)); t1 = time.time() - t0
+    t0 = time.time(); np.asarray(long_(first_arg, *consts)); t2 = time.time() - t0
     return max((t2 - t1) / reps, 1e-9)
 
 

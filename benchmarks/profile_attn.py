@@ -38,10 +38,19 @@ def main():
     key = jax.random.PRNGKey(0)
 
     cache = kvc.create_kv_cache(L, B * maxP, Hkv, PS, D, 4)
-    cache = kvc.KVCache(
-        data=jax.random.randint(key, cache.data.shape, -128, 127, jnp.int8),
-        scales=jnp.abs(jax.random.normal(key, cache.scales.shape)) * 0.05,
-    )
+
+    # content-free fills: random bits over 4GB int8 would materialize a
+    # 4x-larger uint32 intermediate (OOM); a fused iota pattern does not
+    @jax.jit
+    def _fill():
+        d = jax.lax.broadcasted_iota(jnp.int32, cache.data.shape, 4)
+        s = jax.lax.broadcasted_iota(jnp.int32, cache.scales.shape, 4)
+        return ((d * 37 + 11) % 251 - 125).astype(jnp.int8), (
+            (s % 17).astype(jnp.float32) * 0.01 + 0.005
+        ).astype(cache.scales.dtype)
+
+    data, scales = _fill()
+    cache = kvc.KVCache(data=data, scales=scales)
     bt = jnp.asarray(np.arange(B * maxP, dtype=np.int32).reshape(B, maxP))
     ctx_lens = jnp.full((B,), CTX, jnp.int32)
     q = jax.random.normal(key, (B, Hq, D), jnp.bfloat16)
@@ -49,21 +58,24 @@ def main():
                               jnp.bfloat16)
     v_cur = jax.random.normal(jax.random.fold_in(key, 2), (B, Hkv, D),
                               jnp.bfloat16)
-    kv_bytes = B * maxP * (2 * PS * Hkv * D // 2 + 2 * 2 * Hkv * PS * 4)
+    sbytes = cache.scales.dtype.itemsize
+    kv_bytes = B * maxP * (2 * PS * Hkv * D // 2 + 2 * 2 * Hkv * PS * sbytes)
     t = timed_loop(
-        lambda q_: attention.paged_decode_attention(
-            q_, cache, bt, ctx_lens, jnp.int32(0), k_cur, v_cur, 4
-        ), q, reps=16)
+        lambda q_, c_d, c_s: attention.paged_decode_attention(
+            q_, kvc.KVCache(c_d, c_s), bt, ctx_lens, jnp.int32(0),
+            k_cur, v_cur, 4
+        ), q, reps=16, consts=(cache.data, cache.scales))
     report(f"paged_attn ctx={CTX}", t, bytes_=kv_bytes)
 
     kn = jax.random.normal(key, (L, B, Hkv, D), jnp.bfloat16)
     pages = jnp.asarray(np.arange(B, dtype=np.int32))
     slots = jnp.full((B,), 7, jnp.int32)
     t = timed_loop(
-        lambda k_: kvc.append_all_layers(
-            cache, k_, kn, pages, slots, 4, True, unique_pages=True
+        lambda k_, c_d, c_s: kvc.append_all_layers(
+            kvc.KVCache(c_d, c_s), k_, kn, pages, slots, 4, True,
+            unique_pages=True
         ).data,
-        kn, reps=8)
+        kn, reps=8, consts=(cache.data, cache.scales))
     report("kv_append (all layers)", t, mult=1)
 
     h = jax.random.normal(key, (B, E), jnp.bfloat16)

@@ -127,6 +127,15 @@ def silu_mul(gate_up: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
+def _slice_idx(arr: jax.Array, idx, lead: int) -> jax.Array:
+    """XLA-fallback indexing of a stacked operand by [layer(/expert)] idx."""
+    for i in range(lead):
+        arr = jax.lax.dynamic_index_in_dim(
+            arr, jnp.asarray(idx).reshape(-1)[i], axis=0, keepdims=False
+        )
+    return arr
+
+
 def w4a8_gemm_per_chn(
     a_i8: jax.Array,
     a_scale: jax.Array,
@@ -135,12 +144,21 @@ def w4a8_gemm_per_chn(
     s1_scale: jax.Array,
     s1_szero: jax.Array,
     out_dtype=jnp.bfloat16,
+    idx=None,
 ) -> jax.Array:
+    """idx: optional int32 [d] indices into d leading stacked dims of the
+    weight operands (layer / expert) — the Pallas kernel then DMAs blocks
+    straight from the full stacked arrays, so the layer/expert loop never
+    slices (never copies) the weights."""
     fn = _impl("w4a8_gemm_per_chn")
     if fn is not None:
-        return fn(a_i8, a_scale, a_sum, qweight_packed, s1_scale, s1_szero, out_dtype)
-    w = packing.unpack_w4(qweight_packed)
-    p = qoq.PerChannelW4(w, s1_scale, s1_szero)
+        return fn(a_i8, a_scale, a_sum, qweight_packed, s1_scale, s1_szero,
+                  out_dtype, idx)
+    lead = qweight_packed.ndim - 2
+    w = packing.unpack_w4(_slice_idx(qweight_packed, idx, lead))
+    p = qoq.PerChannelW4(
+        w, _slice_idx(s1_scale, idx, lead), _slice_idx(s1_szero, idx, lead)
+    )
     return qoq.w4a8_gemm_per_channel_ref(a_i8, a_scale, a_sum, p, out_dtype)
 
 
@@ -153,15 +171,22 @@ def w4a8_gemm_per_group(
     s1_scale: jax.Array,
     group_size: int = 128,
     out_dtype=jnp.bfloat16,
+    idx=None,
 ) -> jax.Array:
     fn = _impl("w4a8_gemm_per_group")
     if fn is not None:
-        return fn(
+        out = fn(
             a_i8, a_scale, qweight_packed, s2_scale, s2_zero, s1_scale,
-            group_size, out_dtype,
+            group_size, out_dtype, idx,
         )
-    w = packing.unpack_w4(qweight_packed)
-    p = qoq.PerGroupW4(w, s2_scale, s2_zero, s1_scale)
+        if out is not None:  # None = shape unsupported by the kernel
+            return out
+    lead = qweight_packed.ndim - 2
+    w = packing.unpack_w4(_slice_idx(qweight_packed, idx, lead))
+    p = qoq.PerGroupW4(
+        w, _slice_idx(s2_scale, idx, lead), _slice_idx(s2_zero, idx, lead),
+        _slice_idx(s1_scale, idx, lead),
+    )
     return qoq.w4a8_gemm_per_group_ref(a_i8, a_scale, p, group_size, out_dtype)
 
 
@@ -171,11 +196,17 @@ def w8a8_gemm(
     qweight: jax.Array,
     w_scale: jax.Array,
     out_dtype=jnp.bfloat16,
+    idx=None,
 ) -> jax.Array:
     fn = _impl("w8a8_gemm")
     if fn is not None:
-        return fn(a_i8, a_scale, qweight, w_scale, out_dtype)
-    return qoq.w8a8_gemm_ref(a_i8, a_scale, qoq.W8(qweight, w_scale), out_dtype)
+        return fn(a_i8, a_scale, qweight, w_scale, out_dtype, idx)
+    lead = qweight.ndim - 2
+    return qoq.w8a8_gemm_ref(
+        a_i8, a_scale,
+        qoq.W8(_slice_idx(qweight, idx, lead), _slice_idx(w_scale, idx, lead)),
+        out_dtype,
+    )
 
 
 def matmul(x: jax.Array, w: jax.Array, out_dtype=None) -> jax.Array:

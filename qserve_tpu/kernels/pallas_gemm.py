@@ -39,6 +39,16 @@ from qserve_tpu.kernels.ops import interpret_mode, register_pallas
 from qserve_tpu.quant.packing import unpack_w4_nibbles
 
 
+def _blk(ref, lead: int):
+    """Read a ref whose logical block may carry `lead` size-1 leading dims
+    (stacked layer/expert operands indexed by scalar-prefetched indices)."""
+    if lead == 0:
+        return ref[:]
+    if lead == 1:
+        return ref[0]
+    return ref[0, 0]
+
+
 def _largest_divisor(n: int, cap: int, multiple: int = 1) -> int:
     """Largest d <= cap with n % d == 0 and d % multiple == 0 (or n itself)."""
     best = None
@@ -80,14 +90,15 @@ def _pick_bk2(K2: int, bn: int, multiple: int = 1) -> int:
 
 
 def _w4a8_chn_kernel(a_ref, w_ref, s1_ref, sz_ref, as_ref, asum_ref,
-                     out_ref, acc_ref, *, nk: int, bk2: int, k_half: int):
+                     out_ref, acc_ref, *, nk: int, bk2: int, k_half: int,
+                     lead: int):
     k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    lo, hi = unpack_w4_nibbles(w_ref[:], interpret_mode())  # [bk2, bn] int8
+    lo, hi = unpack_w4_nibbles(_blk(w_ref, lead), interpret_mode())  # [bk2, bn]
     a_lo = a_ref[:, pl.ds(k * bk2, bk2)]
     a_hi = a_ref[:, pl.ds(k_half + k * bk2, bk2)]
     acc_ref[:] += jax.lax.dot_general(
@@ -99,55 +110,133 @@ def _w4a8_chn_kernel(a_ref, w_ref, s1_ref, sz_ref, as_ref, asum_ref,
     @pl.when(k == nk - 1)
     def _():
         psum = acc_ref[:].astype(jnp.float32)
-        out = psum * s1_ref[:] * as_ref[:] - sz_ref[:] * asum_ref[:]
+        out = psum * _blk(s1_ref, lead) * as_ref[:] - _blk(sz_ref, lead) * asum_ref[:]
         out_ref[:] = out.astype(out_ref.dtype)
+
+
+def _ix_maps(idx, lead: int):
+    """Index-map builders for (stacked, plain) operands of a (m, n, k) grid.
+
+    Stacked operands prepend `lead` indices read from the scalar-prefetched
+    idx ref (layer / expert); plain operands ignore the prefetch refs."""
+
+    def ix(t_map):
+        def f(m, n, k, *refs):
+            if idx is None:
+                return t_map(m, n, k)
+            return tuple(refs[0][i] for i in range(lead)) + t_map(m, n, k)
+
+        return f
+
+    def ix_plain(t_map):
+        def f(m, n, k, *refs):
+            return t_map(m, n, k)
+
+        return f
+
+    return ix, ix_plain
+
+
+def _maybe_stacked_call(kernel, grid, in_specs, out_spec, out_shape, scratch,
+                        cost, operands, idx):
+    """pallas_call that scalar-prefetches stacked-operand indices when given.
+
+    idx: None (plain operands) or an int32 [d] array of leading indices into
+    stacked operands (e.g. [layer] or [layer, expert]); in_specs entries are
+    (block, index_map_fn) where stacked operands' index maps already consume
+    `d` leading indices from the prefetched ref.
+    """
+    if idx is None:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0, grid=grid,
+            in_specs=in_specs, out_specs=out_spec,
+            scratch_shapes=scratch,
+        )
+        args = operands
+    else:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=grid,
+            in_specs=in_specs, out_specs=out_spec,
+            scratch_shapes=scratch,
+        )
+        args = (jnp.asarray(idx, jnp.int32).reshape(-1), *operands)
+        inner = kernel
+        kernel = lambda idx_ref, *refs: inner(*refs)  # idx only feeds index maps
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret_mode(),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=cost,
+    )(*args)
 
 
 @functools.partial(jax.jit, static_argnames=("out_dtype",))
 def w4a8_gemm_per_chn_pallas(
     a_i8, a_scale, a_sum, qweight_packed, s1_scale, s1_szero,
-    out_dtype=jnp.bfloat16,
+    out_dtype=jnp.bfloat16, idx=None,
 ):
+    """Per-channel W4A8 GEMM. qweight_packed may carry leading stacked dims
+    (layers / experts) addressed by `idx`; the kernel then DMAs weight blocks
+    straight out of the full stacked array — the layer scan never slices
+    (and so never copies) the weights."""
     M, K = a_i8.shape
-    N = qweight_packed.shape[1]
+    N = qweight_packed.shape[-1]
+    lead = qweight_packed.ndim - 2
+    assert (idx is None) == (lead == 0)
     K2 = K // 2
     bn = _pick_bn(N)
     bm = _pick_bm(M, K)
     bk2 = _pick_bk2(K2, bn)
     nk = K2 // bk2
     grid = (pl.cdiv(M, bm), N // bn, nk)
+    lead1 = (1,) * lead
 
-    return pl.pallas_call(
-        functools.partial(_w4a8_chn_kernel, nk=nk, bk2=bk2, k_half=K2),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((bm, K), lambda m, n, k: (m, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bk2, bn), lambda m, n, k: (k, n), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn), lambda m, n, k: (0, n), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn), lambda m, n, k: (0, n), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bm, 1), lambda m, n, k: (m, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bm, 1), lambda m, n, k: (m, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((bm, bn), lambda m, n, k: (m, n),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
-        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
-        interpret=interpret_mode(),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        ),
-        cost_estimate=pl.CostEstimate(
+    ix, ix_plain = _ix_maps(idx, lead)
+
+    in_specs = [
+        pl.BlockSpec((bm, K), ix_plain(lambda m, n, k: (m, 0)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(lead1 + (bk2, bn), ix(lambda m, n, k: (k, n)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(lead1 + (1, bn), ix(lambda m, n, k: (0, n)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(lead1 + (1, bn), ix(lambda m, n, k: (0, n)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bm, 1), ix_plain(lambda m, n, k: (m, 0)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bm, 1), ix_plain(lambda m, n, k: (m, 0)),
+                     memory_space=pltpu.VMEM),
+    ]
+    s1 = s1_scale.reshape(*s1_scale.shape[:lead], 1, N)
+    sz = s1_szero.reshape(*s1_szero.shape[:lead], 1, N)
+    return _maybe_stacked_call(
+        functools.partial(_w4a8_chn_kernel, nk=nk, bk2=bk2, k_half=K2,
+                          lead=lead),
+        grid, in_specs,
+        pl.BlockSpec((bm, bn), ix_plain(lambda m, n, k: (m, n)),
+                     memory_space=pltpu.VMEM),
+        jax.ShapeDtypeStruct((M, N), out_dtype),
+        [pltpu.VMEM((bm, bn), jnp.int32)],
+        pl.CostEstimate(
             flops=2 * M * N * K,
             bytes_accessed=M * K + K * N // 2 + M * N * 2,
             transcendentals=0,
         ),
-    )(a_i8, qweight_packed, s1_scale.reshape(1, N), s1_szero.reshape(1, N),
-      a_scale.reshape(M, 1), a_sum.reshape(M, 1))
+        (a_i8, qweight_packed, s1, sz,
+         a_scale.reshape(M, 1), a_sum.reshape(M, 1)),
+        idx,
+    )
 
 
 @register_pallas("w4a8_gemm_per_chn")
-def _w4a8_chn_dispatch(a_i8, a_scale, a_sum, qw, s1, sz, out_dtype):
-    return w4a8_gemm_per_chn_pallas(a_i8, a_scale, a_sum, qw, s1, sz, out_dtype)
+def _w4a8_chn_dispatch(a_i8, a_scale, a_sum, qw, s1, sz, out_dtype, idx=None):
+    return w4a8_gemm_per_chn_pallas(
+        a_i8, a_scale, a_sum, qw, s1, sz, out_dtype, idx
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -157,7 +246,8 @@ def _w4a8_chn_dispatch(a_i8, a_scale, a_sum, qw, s1, sz, out_dtype):
 
 def _w4a8_grp_kernel(a_ref, w_ref, s2s_lo_ref, s2z_lo_ref, s2s_hi_ref,
                      s2z_hi_ref, s1_ref, as_ref, out_ref, acc_ref,
-                     *, nk: int, bk2: int, k_half: int, group: int):
+                     *, nk: int, bk2: int, k_half: int, group: int,
+                     lead: int):
     k = pl.program_id(2)
 
     @pl.when(k == 0)
@@ -165,7 +255,7 @@ def _w4a8_grp_kernel(a_ref, w_ref, s2s_lo_ref, s2z_lo_ref, s2s_hi_ref,
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     gpb = bk2 // group  # whole groups per nibble plane of this block
-    lo, hi = unpack_w4_nibbles(w_ref[:], interpret_mode())  # [bk2, bn] int8
+    lo, hi = unpack_w4_nibbles(_blk(w_ref, lead), interpret_mode())  # [bk2, bn]
 
     def plane(a_start, w_plane, s2s, s2z):
         # sum_g s2[g] * dot(a_g, q_g) + z2[g] * rowsum(a_g)
@@ -186,26 +276,28 @@ def _w4a8_grp_kernel(a_ref, w_ref, s2s_lo_ref, s2z_lo_ref, s2s_hi_ref,
             acc += dot_g * s2 + asum_g * z2
         return acc
 
-    s2s_lo = s2s_lo_ref[:].astype(jnp.int32)  # [gpb, bn]
-    s2z_lo = s2z_lo_ref[:].astype(jnp.int32)
-    s2s_hi = s2s_hi_ref[:].astype(jnp.int32)
-    s2z_hi = s2z_hi_ref[:].astype(jnp.int32)
+    s2s_lo = _blk(s2s_lo_ref, lead).astype(jnp.int32)  # [gpb, bn]
+    s2z_lo = _blk(s2z_lo_ref, lead).astype(jnp.int32)
+    s2s_hi = _blk(s2s_hi_ref, lead).astype(jnp.int32)
+    s2z_hi = _blk(s2z_hi_ref, lead).astype(jnp.int32)
     acc_ref[:] += plane(k * bk2, lo, s2s_lo, s2z_lo)
     acc_ref[:] += plane(k_half + k * bk2, hi, s2s_hi, s2z_hi)
 
     @pl.when(k == nk - 1)
     def _():
         psum = acc_ref[:].astype(jnp.float32)
-        out_ref[:] = (psum * s1_ref[:] * as_ref[:]).astype(out_ref.dtype)
+        out_ref[:] = (psum * _blk(s1_ref, lead) * as_ref[:]).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("group_size", "out_dtype"))
 def w4a8_gemm_per_group_pallas(
     a_i8, a_scale, qweight_packed, s2_scale, s2_zero, s1_scale,
-    group_size=128, out_dtype=jnp.bfloat16,
+    group_size=128, out_dtype=jnp.bfloat16, idx=None,
 ):
     M, K = a_i8.shape
-    N = qweight_packed.shape[1]
+    N = qweight_packed.shape[-1]
+    lead = qweight_packed.ndim - 2
+    assert (idx is None) == (lead == 0)
     K2 = K // 2
     G = K // group_size
     assert K2 % group_size == 0, "need K/2 divisible by group size"
@@ -217,50 +309,58 @@ def w4a8_gemm_per_group_pallas(
     nk = K2 // bk2
     gpb = bk2 // group_size
     grid = (pl.cdiv(M, bm), N // bn, nk)
+    lead1 = (1,) * lead
+    ix, ix_plain = _ix_maps(idx, lead)
 
-    return pl.pallas_call(
+    in_specs = [
+        pl.BlockSpec((bm, K), ix_plain(lambda m, n, k: (m, 0)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(lead1 + (bk2, bn), ix(lambda m, n, k: (k, n)),
+                     memory_space=pltpu.VMEM),
+        # per-K-block group-scale rows: low-nibble plane covers groups of
+        # K rows [k*bk2, (k+1)*bk2) = scale-row block k; the high plane's
+        # rows sit nk blocks later (global half-split packing)
+        pl.BlockSpec(lead1 + (gpb, bn), ix(lambda m, n, k: (k, n)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(lead1 + (gpb, bn), ix(lambda m, n, k: (k, n)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(lead1 + (gpb, bn), ix(lambda m, n, k: (nk + k, n)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(lead1 + (gpb, bn), ix(lambda m, n, k: (nk + k, n)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(lead1 + (1, bn), ix(lambda m, n, k: (0, n)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bm, 1), ix_plain(lambda m, n, k: (m, 0)),
+                     memory_space=pltpu.VMEM),
+    ]
+    s1 = s1_scale.reshape(*s1_scale.shape[:lead], 1, N)
+    return _maybe_stacked_call(
         functools.partial(_w4a8_grp_kernel, nk=nk, bk2=bk2, k_half=K2,
-                          group=group_size),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((bm, K), lambda m, n, k: (m, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bk2, bn), lambda m, n, k: (k, n), memory_space=pltpu.VMEM),
-            # per-K-block group-scale rows: low-nibble plane covers groups of
-            # K rows [k*bk2, (k+1)*bk2) = scale-row block k; the high plane's
-            # rows sit nk blocks later (global half-split packing)
-            pl.BlockSpec((gpb, bn), lambda m, n, k: (k, n), memory_space=pltpu.VMEM),
-            pl.BlockSpec((gpb, bn), lambda m, n, k: (k, n), memory_space=pltpu.VMEM),
-            pl.BlockSpec((gpb, bn), lambda m, n, k: (nk + k, n),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((gpb, bn), lambda m, n, k: (nk + k, n),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn), lambda m, n, k: (0, n), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bm, 1), lambda m, n, k: (m, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((bm, bn), lambda m, n, k: (m, n),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
-        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
-        interpret=interpret_mode(),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        ),
-        cost_estimate=pl.CostEstimate(
+                          group=group_size, lead=lead),
+        grid, in_specs,
+        pl.BlockSpec((bm, bn), ix_plain(lambda m, n, k: (m, n)),
+                     memory_space=pltpu.VMEM),
+        jax.ShapeDtypeStruct((M, N), out_dtype),
+        [pltpu.VMEM((bm, bn), jnp.int32)],
+        pl.CostEstimate(
             flops=2 * M * N * K,
             bytes_accessed=M * K + K * N // 2 + 2 * G * N + M * N * 2,
             transcendentals=0,
         ),
-    )(a_i8, qweight_packed, s2_scale, s2_zero, s2_scale, s2_zero,
-      s1_scale.reshape(1, N), a_scale.reshape(M, 1))
+        (a_i8, qweight_packed, s2_scale, s2_zero, s2_scale, s2_zero,
+         s1, a_scale.reshape(M, 1)),
+        idx,
+    )
 
 
 @register_pallas("w4a8_gemm_per_group")
-def _w4a8_grp_dispatch(a_i8, a_scale, qw, s2s, s2z, s1, group_size, out_dtype):
+def _w4a8_grp_dispatch(a_i8, a_scale, qw, s2s, s2z, s1, group_size, out_dtype,
+                       idx=None):
     K2 = a_i8.shape[1] // 2
     if not interpret_mode() and K2 % (8 * group_size) != 0:
         return None  # tiny-K shapes: aligned scale blocks impossible -> XLA
     return w4a8_gemm_per_group_pallas(
-        a_i8, a_scale, qw, s2s, s2z, s1, group_size, out_dtype
+        a_i8, a_scale, qw, s2s, s2z, s1, group_size, out_dtype, idx
     )
 
 
@@ -270,7 +370,7 @@ def _w4a8_grp_dispatch(a_i8, a_scale, qw, s2s, s2z, s1, group_size, out_dtype):
 
 
 def _w8a8_kernel(a_ref, w_ref, ws_ref, as_ref, out_ref, acc_ref,
-                 *, nk: int, bk: int):
+                 *, nk: int, bk: int, lead: int):
     k = pl.program_id(2)
 
     @pl.when(k == 0)
@@ -278,51 +378,59 @@ def _w8a8_kernel(a_ref, w_ref, ws_ref, as_ref, out_ref, acc_ref,
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     acc_ref[:] += jax.lax.dot_general(
-        a_ref[:, pl.ds(k * bk, bk)], w_ref[:], (((1,), (0,)), ((), ())),
+        a_ref[:, pl.ds(k * bk, bk)], _blk(w_ref, lead), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
 
     @pl.when(k == nk - 1)
     def _():
         psum = acc_ref[:].astype(jnp.float32)
-        out_ref[:] = (psum * ws_ref[:] * as_ref[:]).astype(out_ref.dtype)
+        out_ref[:] = (psum * _blk(ws_ref, lead) * as_ref[:]).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("out_dtype",))
-def w8a8_gemm_pallas(a_i8, a_scale, qweight, w_scale, out_dtype=jnp.bfloat16):
+def w8a8_gemm_pallas(a_i8, a_scale, qweight, w_scale, out_dtype=jnp.bfloat16,
+                     idx=None):
     M, K = a_i8.shape
-    N = qweight.shape[1]
+    N = qweight.shape[-1]
+    lead = qweight.ndim - 2
+    assert (idx is None) == (lead == 0)
     bn = _pick_bn(N)
     bm = _pick_bm(M, K)
     bk = _pick_bk2(K, bn)
     nk = K // bk
     grid = (pl.cdiv(M, bm), N // bn, nk)
+    lead1 = (1,) * lead
+    ix, ix_plain = _ix_maps(idx, lead)
 
-    return pl.pallas_call(
-        functools.partial(_w8a8_kernel, nk=nk, bk=bk),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((bm, K), lambda m, n, k: (m, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bk, bn), lambda m, n, k: (k, n), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn), lambda m, n, k: (0, n), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bm, 1), lambda m, n, k: (m, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((bm, bn), lambda m, n, k: (m, n),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
-        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
-        interpret=interpret_mode(),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        ),
-        cost_estimate=pl.CostEstimate(
+    in_specs = [
+        pl.BlockSpec((bm, K), ix_plain(lambda m, n, k: (m, 0)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(lead1 + (bk, bn), ix(lambda m, n, k: (k, n)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(lead1 + (1, bn), ix(lambda m, n, k: (0, n)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bm, 1), ix_plain(lambda m, n, k: (m, 0)),
+                     memory_space=pltpu.VMEM),
+    ]
+    ws = w_scale.reshape(*w_scale.shape[:lead], 1, N)
+    return _maybe_stacked_call(
+        functools.partial(_w8a8_kernel, nk=nk, bk=bk, lead=lead),
+        grid, in_specs,
+        pl.BlockSpec((bm, bn), ix_plain(lambda m, n, k: (m, n)),
+                     memory_space=pltpu.VMEM),
+        jax.ShapeDtypeStruct((M, N), out_dtype),
+        [pltpu.VMEM((bm, bn), jnp.int32)],
+        pl.CostEstimate(
             flops=2 * M * N * K,
             bytes_accessed=M * K + K * N + M * N * 2,
             transcendentals=0,
         ),
-    )(a_i8, qweight, w_scale.reshape(1, N), a_scale.reshape(M, 1))
+        (a_i8, qweight, ws, a_scale.reshape(M, 1)),
+        idx,
+    )
 
 
 @register_pallas("w8a8_gemm")
-def _w8a8_dispatch(a_i8, a_scale, qw, ws, out_dtype):
-    return w8a8_gemm_pallas(a_i8, a_scale, qw, ws, out_dtype)
+def _w8a8_dispatch(a_i8, a_scale, qw, ws, out_dtype, idx=None):
+    return w8a8_gemm_pallas(a_i8, a_scale, qw, ws, out_dtype, idx)

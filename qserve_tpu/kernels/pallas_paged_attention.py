@@ -9,9 +9,16 @@ accumulation. Design:
     prefetched into SMEM), not via raw device pointers (KVBlockArray);
   * the kernel reads the FULL stacked cache at a layer index — the layer
     loop above never slices the multi-GB arrays;
-  * the CURRENT token's K/V are direct inputs and self-attend in-kernel
-    (appends are deferred and batched; the reference MMHA also self-attends,
-    Template.hpp:1221-1349) — the cache covers positions < ctx-1;
+  * the CURRENT token's K/V are handled OUTSIDE the kernel: appends are
+    deferred and batched, and the exact (unquantized) self-attention term is
+    merged into the online-softmax state (acc, m, l) by a batched XLA
+    epilogue (the reference MMHA self-attends in-kernel,
+    Template.hpp:1221-1349 — on TPU that work is per-sequence serial; batched
+    XLA does it vectorized over B);
+  * likewise the block-diagonal int8 query construction happens once in
+    batched XLA, not per kernel instance: the kernel receives MXU-ready
+    int8 query planes. The kernel body is ONLY the per-page history loop —
+    its fixed costs are DMA issue/wait, not VPU prep work;
   * the grid is (batch,) with megacore batch parallelism; PCHUNK pages are
     processed per loop iteration (one DMA per page, NBUF chunk buffers in
     flight) — the TPU analog of K_LOOP_UNROLL/cp.async scale preloading
@@ -21,16 +28,20 @@ accumulation. Design:
     `w & 0x0F0F0F0F` LOP3 dequant, Utils.h:1943-1953, on VPU terms:
     pltpu.bitcast to int32, one mask op per 4 bytes);
   * ALL kv heads are processed by single MXU ops via a block-diagonal query
-    matrix: Q_blk [H*G, H*Dc] holds head h's queries in lane block h, so
+    matrix in GROUP-MAJOR row order (row g*H + h holds head h, group g), so
+    per-head scale rows broadcast to the [G*H, ps2] score block by stacking
+    G copies (cheap sublane concat) instead of interleaving repeats:
       scores = Q_blk(int8) @ k_plane^T   -- one s8xs8 MXU op per nibble plane
-    (q is requantized per (head, group) row to int8, and the K plane feeds
-    the MXU straight from the nibble unpack with NO int->float conversion —
-    the decode analog of the W4A8 GEMM's progressive dequant);
-  * per-slot scale/zero fold in as row-vector multiply-adds on the
-    [H*G, PCHUNK*ps] score block; the V side requantizes (p*vs) rows to int8
-    so PV is also a straight s8 x s8 dot (SageAttention-style int8-P; error
-    below the KV4 noise floor). Only the diagonal head blocks of pv_full are
-    kept (cheap selects; the MXU was idle regardless).
+    (the K plane feeds the MXU straight from the nibble unpack with NO
+    int->float conversion — the decode analog of the W4A8 GEMM's progressive
+    dequant);
+  * the V side requantizes (p*vs) rows to int8 so PV is also a straight
+    s8 x s8 dot (SageAttention-style int8-P; error below the KV4 noise
+    floor). Only the diagonal head blocks of pv_full are kept (cheap
+    selects; the MXU was idle regardless);
+  * the scale buffers are zeroed once per instance so lanes of never-DMA'd
+    pages read exact 0.0 — beyond-history probabilities are exactly zero
+    after exp(NEG_INF - m), so no extra masking passes are spent on them.
 
 Constraints (dispatcher falls back to XLA otherwise): page_size % 128 == 0
 and head_dim % 128 == 0. QSERVE_TPU_EXACT_ATTN=1 forces the full-float XLA
@@ -68,21 +79,23 @@ def _paged_attn_kernel(
     li_ref,  # [1] int32 layer index (SMEM)
     bt_ref,  # [B, maxP] int32 (SMEM)
     ctx_ref,  # [B] int32 (SMEM)
-    # blocked inputs
-    q_ref,  # [1, H*G, D] f32 (VMEM)
-    kc_ref,  # [1, H, D] f32 current-step K (VMEM)
-    vc_ref,  # [1, H, D] f32 current-step V (VMEM)
+    # blocked inputs (group-major rows: row g*H + h)
+    qlo_ref,  # [1, GH, HDc] int8 block-diagonal low-half queries (VMEM)
+    qhi_ref,  # [1, GH, HDc] int8 high-half (KV8: unused dummy [1, GH, 1])
+    qmeta_ref,  # [1, GH, 2] f32: col 0 = qscale*sm_scale, col 1 = qsum*sm_scale
     # HBM-resident cache (FULL stacked arrays; no per-layer slicing)
     data_ref,  # [L, P, 2, ps, H*Dc] int8 (ANY)
-    scales_ref,  # [L, P, 2, 2H, ps] f32 (ANY)
-    # output
-    out_ref,  # [1, H*G, D] f32 (VMEM)
+    scales_ref,  # [L, P, 2, 2H, ps] f32/bf16 (ANY)
+    # outputs: raw online-softmax state (self-attn merged outside)
+    acc_out,  # [1, GH, D] f32
+    m_out,  # [1, GH, 1] f32
+    l_out,  # [1, GH, 1] f32
     # scratch
     buf_d,  # [NBUF, 2, PCHUNK*ps, H*Dc] int8
-    buf_s,  # [NBUF, 2, 2H, PCHUNK*ps] f32
-    acc_ref,  # [H*G, D] f32
-    m_ref,  # [H*G, 1] f32
-    l_ref,  # [H*G, 1] f32
+    buf_s,  # [NBUF, 2, 2H, PCHUNK*ps] f32/bf16
+    acc_ref,  # [GH, D] f32
+    m_ref,  # [GH, 1] f32
+    l_ref,  # [GH, 1] f32
     sems,  # DMA sems [NBUF, 2, PCHUNK]
     *,
     ps: int,
@@ -90,7 +103,6 @@ def _paged_attn_kernel(
     G: int,
     D: int,
     kv4: bool,
-    sm_scale: float,
     interpret: bool,
     PCHUNK: int,
     NBUF: int,
@@ -102,34 +114,22 @@ def _paged_attn_kernel(
     npages = jax.lax.div(hist + ps - 1, ps)
     nblocks = jax.lax.div(npages + PCHUNK - 1, PCHUNK)
     dc = D // 2 if kv4 else D
-    HG = H * G
-    HDc = H * dc
+    GH = G * H
     ps2 = PCHUNK * ps
 
     acc_ref[:] = jnp.zeros_like(acc_ref)
     m_ref[:] = jnp.full_like(m_ref, NEG_INF)
     l_ref[:] = jnp.zeros_like(l_ref)
+    # lanes of pages never DMA'd must read FINITE scales (first use of the
+    # scratch could otherwise hold NaN bit patterns); with 0.0 there, the
+    # p*scale products of masked slots are exact zeros with no extra wheres
+    buf_s[:] = jnp.zeros_like(buf_s)
 
-    # ---- one-time per sequence: block-diagonal int8 queries ----
-    q = q_ref[0]  # [HG, D] f32
-    qsum = jnp.sum(q, axis=1, keepdims=True)  # [HG, 1] exact q·1 for the
-    # zero-point term (linear in q, so the unquantized sum is strictly better)
-    row_head = jax.lax.broadcasted_iota(jnp.int32, (HG, HDc), 0) // G
-    col_head = jax.lax.broadcasted_iota(jnp.int32, (HG, HDc), 1) // dc
-    blockmask = (row_head == col_head).astype(jnp.float32)  # [HG, HDc]
-    qscale = jnp.maximum(jnp.max(jnp.abs(q), axis=1, keepdims=True), 1e-6) / 127.0
-
-    def q_blk_int8(half):  # half: q[:, :dc] or q[:, dc:]
-        tiled = jnp.concatenate([half] * H, axis=1)  # [HG, HDc]
-        x = tiled * blockmask / qscale
-        return jnp.round(x).astype(jnp.int8)
-
-    if kv4:
-        qb_lo = q_blk_int8(q[:, : D // 2])
-        qb_hi = q_blk_int8(q[:, D // 2 :])
-    else:
-        qb_lo = q_blk_int8(q)
-        qb_hi = None
+    qlo = qlo_ref[0]  # [GH, HDc] int8
+    qhi = qhi_ref[0] if kv4 else None
+    qsc = qmeta_ref[0, :, 0:1]  # [GH, 1] qscale * sm_scale
+    qsm = qmeta_ref[0, :, 1:2]  # [GH, 1] qsum * sm_scale
+    row_head = jax.lax.broadcasted_iota(jnp.int32, (GH, dc), 0) % H
 
     def start_block(slot, blk):
         for j in range(PCHUNK):
@@ -172,6 +172,11 @@ def _paged_attn_kernel(
         def _(j=j):
             start_block(j, j)
 
+    def tile_g(row):  # [H, ps2] -> [GH, ps2] by stacking G copies (row g*H+h)
+        if G == 1:
+            return row
+        return jnp.concatenate([row] * G, axis=0)
+
     def body(blk, _):
         slot = jax.lax.rem(blk, NBUF)
         wait_block(slot, blk)
@@ -185,64 +190,59 @@ def _paged_attn_kernel(
             k_lo = kp  # KV8: stored u-128, s8 MXU-ready (append_layer)
             v_lo, v_hi = vp, None
 
-        # per-head scale rows expanded to the [HG, ps2] score block
-        ks = jnp.repeat(buf_s[slot, 0, :H, :], G, axis=0)  # [HG, ps2]
-        kz = jnp.repeat(buf_s[slot, 0, H:, :], G, axis=0)
-        vs = jnp.repeat(buf_s[slot, 1, :H, :], G, axis=0)
-        vz = jnp.repeat(buf_s[slot, 1, H:, :], G, axis=0)
+        ks_h = buf_s[slot, 0, :H, :].astype(jnp.float32)  # [H, ps2]
+        kz_h = buf_s[slot, 0, H:, :].astype(jnp.float32)
+        vs_h = buf_s[slot, 1, :H, :].astype(jnp.float32)
+        vz_h = buf_s[slot, 1, H:, :].astype(jnp.float32)
+        if not kv4:
+            # KV8 stores x = u - 128; k = u*ks + kz = x*ks + (kz + 128*ks)
+            kz_h = kz_h + 128.0 * ks_h
+            vz_h = vz_h + 128.0 * vs_h
+        ks = tile_g(ks_h)  # [GH, ps2]
+        kz = tile_g(kz_h)
+        vs = tile_g(vs_h)
+        vz = tile_g(vz_h)
 
         # scores: one s8 x s8 MXU op per nibble plane (covers PCHUNK pages)
+        qk = jax.lax.dot_general(
+            qlo, k_lo, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
         if kv4:
-            qk = jax.lax.dot_general(
-                qb_lo, k_lo, (((1,), (1,)), ((), ())),
+            qk = qk + jax.lax.dot_general(
+                qhi, k_hi, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32,
-            ) + jax.lax.dot_general(
-                qb_hi, k_hi, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            )  # [HG, ps2]
-            qk_f = qk.astype(jnp.float32) * qscale
-            kz_eff = kz
-        else:
-            # KV8 stores x = u - 128; k = u*ks + kz = x*ks + (kz + 128*ks)
-            qk = jax.lax.dot_general(
-                qb_lo, k_lo, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            )
-            qk_f = qk.astype(jnp.float32) * qscale
-            kz_eff = kz + 128.0 * ks
+            )  # [GH, ps2]
 
         pos = blk * ps2 + jax.lax.broadcasted_iota(jnp.int32, (1, ps2), 1)
-        valid = pos < hist  # [1, ps2]; the current token is handled below
-        s_gp = (qk_f * ks + qsum * kz_eff) * sm_scale
+        valid = pos < hist  # [1, ps2]; the current token is merged outside
+        # sm_scale is folded into qsc/qsm by the host-side prep
+        s_gp = qk.astype(jnp.float32) * qsc * ks + qsm * kz
         s_gp = jnp.where(valid, s_gp, NEG_INF)
 
-        # online softmax across the whole [HG, ps2] block
+        # online softmax across the whole [GH, ps2] block; invalid lanes
+        # yield exp(NEG_INF - m) == 0 exactly, no re-masking needed
         m_prev = m_ref[:]
         m_new = jnp.maximum(m_prev, jnp.max(s_gp, axis=1, keepdims=True))
         alpha = jnp.exp(m_prev - m_new)
         p_gp = jnp.exp(s_gp - m_new)
-        p_gp = jnp.where(valid, p_gp, 0.0)
         l_ref[:] = l_ref[:] * alpha + jnp.sum(p_gp, axis=1, keepdims=True)
         m_ref[:] = m_new
 
         # V: requantize (p*vs) rows to int8 -> s8 x s8 PV dot, no V conversion
-        # (mask AFTER the multiply: beyond-history lanes hold unwritten scale
-        # values and 0 * garbage must not poison the row max / sums)
-        pvs_f = jnp.where(valid, p_gp * vs, 0.0)  # [HG, ps2] f32
+        # (vs lanes of masked slots are 0.0 or stale-finite; p there is 0)
+        pvs_f = p_gp * vs  # [GH, ps2] f32, >= 0 (vs is a positive scale)
         pq_scale = jnp.maximum(
-            jnp.max(jnp.abs(pvs_f), axis=1, keepdims=True), 1e-20
+            jnp.max(pvs_f, axis=1, keepdims=True), 1e-20
         ) / 127.0
-        pvs_q = jnp.round(pvs_f / pq_scale).astype(jnp.int8)  # [HG, ps2]
-        vz_eff = vz if kv4 else vz + 128.0 * vs  # KV8 offset (see above)
-        pvz = jnp.sum(
-            jnp.where(valid, p_gp * vz_eff, 0.0), axis=1, keepdims=True
-        )  # [HG, 1]
+        pvs_q = jnp.round(pvs_f / pq_scale).astype(jnp.int8)  # [GH, ps2]
+        pvz = jnp.sum(p_gp * vz, axis=1, keepdims=True)  # [GH, 1]
 
-        def diag_blocks(pv_full_i32):  # [HG, HDc] i32 -> [HG, dc] f32
+        def diag_blocks(pv_full_i32):  # [GH, HDc] i32 -> [GH, dc] f32
             pv_full = pv_full_i32.astype(jnp.float32) * pq_scale
-            out = jnp.zeros((HG, dc), jnp.float32)
+            out = jnp.zeros((GH, dc), jnp.float32)
             for h in range(H):
-                sel = (row_head[:, :dc] == h).astype(jnp.float32)
+                sel = (row_head == h).astype(jnp.float32)
                 out = out + pv_full[:, h * dc : (h + 1) * dc] * sel
             return out
 
@@ -255,11 +255,10 @@ def _paged_attn_kernel(
                 pvs_q, v_hi, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
             ))
-            pv = jnp.concatenate([pv_lo, pv_hi], axis=1)  # [HG, D]
+            pv = jnp.concatenate([pv_lo, pv_hi], axis=1)  # [GH, D]
         else:
             pv = pv_lo
-        pv = pv + pvz
-        acc_ref[:] = acc_ref[:] * alpha + pv
+        acc_ref[:] = acc_ref[:] * alpha + (pv + pvz)
 
         # buffer slot is free: refill with block blk + NBUF
         @pl.when(blk + NBUF < nblocks)
@@ -269,20 +268,9 @@ def _paged_attn_kernel(
 
     jax.lax.fori_loop(0, nblocks, body, 0, unroll=False)
 
-    # ---- self-attention on the current token (exact, unquantized) ----
-    kc = kc_ref[0]  # [H, D] f32
-    vc = vc_ref[0]
-    kc_rep = jnp.repeat(kc, G, axis=0)  # [HG, D]
-    vc_rep = jnp.repeat(vc, G, axis=0)
-    s_self = jnp.sum(q * kc_rep, axis=1, keepdims=True) * sm_scale  # [HG, 1]
-    m_new = jnp.maximum(m_ref[:], s_self)
-    alpha = jnp.exp(m_ref[:] - m_new)
-    p_self = jnp.exp(s_self - m_new)  # [HG, 1]
-    l = l_ref[:] * alpha + p_self
-    acc = acc_ref[:] * alpha + p_self * vc_rep
-
-    l = jnp.maximum(l, 1e-30)  # [HG, 1]
-    out_ref[0] = acc / l
+    acc_out[0] = acc_ref[:]
+    m_out[0] = m_ref[:]
+    l_out[0] = l_ref[:]
 
 
 def supports(page_size: int, head_dim: int) -> bool:
@@ -293,7 +281,7 @@ def supports(page_size: int, head_dim: int) -> bool:
 def paged_decode_attention_pallas(
     q: jax.Array,  # [B, Hq, D] (any float dtype)
     data: jax.Array,  # [L, P, 2, ps, H*Dc] int8 (full stacked cache)
-    scales: jax.Array,  # [L, P, 2, 2H, ps] f32
+    scales: jax.Array,  # [L, P, 2, 2H, ps] f32/bf16
     block_tables: jax.Array,  # [B, maxP] int32
     context_lens: jax.Array,  # [B] int32 (incl. current token)
     layer_idx: jax.Array,  # [] or [1] int32
@@ -306,9 +294,39 @@ def paged_decode_attention_pallas(
     twoH, ps = scales.shape[-2], scales.shape[-1]
     H = twoH // 2
     hdc = data.shape[-1]
+    dc = hdc // H
     G = Hq // H
+    GH = G * H
 
-    qr = q.astype(jnp.float32).reshape(B, H * G, D)
+    # ---- batched host-side prep (vectorized over B; the kernel only loops
+    # over history pages) ----
+    # group-major rows: row g*H + h holds (head h, group g)
+    qg = (
+        q.astype(jnp.float32)
+        .reshape(B, H, G, D)
+        .transpose(0, 2, 1, 3)
+        .reshape(B, GH, D)
+    )
+    qscale = jnp.maximum(jnp.max(jnp.abs(qg), axis=2, keepdims=True), 1e-6) / 127.0
+    qsum = jnp.sum(qg, axis=2, keepdims=True)  # exact q·1 for the zero term
+    qint = jnp.round(qg / qscale).astype(jnp.int8)  # [B, GH, D]
+    head_of_row = jnp.arange(GH, dtype=jnp.int32) % H  # [GH]
+    col_head = jnp.arange(H, dtype=jnp.int32)  # [H]
+    blockmask = (head_of_row[:, None] == col_head[None, :]).astype(jnp.int8)
+
+    def block_diag(half):  # [B, GH, dc] int8 -> [B, GH, H*dc] int8
+        x = half[:, :, None, :] * blockmask[None, :, :, None]
+        return x.reshape(B, GH, H * dc)
+
+    if kv4:
+        qb_lo = block_diag(qint[:, :, : D // 2])
+        qb_hi = block_diag(qint[:, :, D // 2 :])
+    else:
+        qb_lo = block_diag(qint)
+        qb_hi = jnp.zeros((B, GH, 1), jnp.int8)  # unused dummy
+    qmeta = jnp.concatenate(
+        [qscale * sm_scale, qsum * sm_scale], axis=2
+    )  # [B, GH, 2] f32
 
     # short histories favor small page chunks (less masked tail compute);
     # long histories amortize per-iteration fixed costs over more slots
@@ -320,34 +338,43 @@ def paged_decode_attention_pallas(
         num_scalar_prefetch=3,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, H * G, D), lambda b, *_: (b, 0, 0),
+            pl.BlockSpec((1, GH, qb_lo.shape[2]), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H, D), lambda b, *_: (b, 0, 0),
+            pl.BlockSpec((1, GH, qb_hi.shape[2]), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H, D), lambda b, *_: (b, 0, 0),
+            pl.BlockSpec((1, GH, 2), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, H * G, D), lambda b, *_: (b, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=[
+            pl.BlockSpec((1, GH, D), lambda b, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, GH, 1), lambda b, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, GH, 1), lambda b, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
         scratch_shapes=[
             pltpu.VMEM((NBUF, 2, PCHUNK * ps, hdc), jnp.int8),
-            pltpu.VMEM((NBUF, 2, 2 * H, PCHUNK * ps), jnp.float32),
-            pltpu.VMEM((H * G, D), jnp.float32),
-            pltpu.VMEM((H * G, 1), jnp.float32),
-            pltpu.VMEM((H * G, 1), jnp.float32),
+            pltpu.VMEM((NBUF, 2, 2 * H, PCHUNK * ps), scales.dtype),
+            pltpu.VMEM((GH, D), jnp.float32),
+            pltpu.VMEM((GH, 1), jnp.float32),
+            pltpu.VMEM((GH, 1), jnp.float32),
             pltpu.SemaphoreType.DMA((NBUF, 2, PCHUNK)),
         ],
     )
-    out = pl.pallas_call(
+    acc, m, l = pl.pallas_call(
         functools.partial(
             _paged_attn_kernel, ps=ps, H=H, G=G, D=D, kv4=kv4,
-            sm_scale=sm_scale, interpret=interpret_mode(),
-            PCHUNK=PCHUNK, NBUF=NBUF,
+            interpret=interpret_mode(), PCHUNK=PCHUNK, NBUF=NBUF,
         ),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, H * G, D), jnp.float32),
+        out_shape=[
+            jax.ShapeDtypeStruct((B, GH, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, GH, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, GH, 1), jnp.float32),
+        ],
         interpret=interpret_mode(),
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
@@ -355,16 +382,37 @@ def paged_decode_attention_pallas(
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * B * Hq * D * maxP * ps,
-            bytes_accessed=B * maxP * (2 * ps * hdc + 2 * 2 * H * ps * 4),
+            bytes_accessed=B * maxP * (
+                2 * ps * hdc + 2 * 2 * H * ps * scales.dtype.itemsize
+            ),
             transcendentals=B * Hq * maxP * ps,
         ),
     )(
         jnp.asarray(layer_idx, jnp.int32).reshape(1),
-        block_tables, context_lens, qr,
-        k_cur.astype(jnp.float32), v_cur.astype(jnp.float32),
-        data, scales,
+        block_tables, context_lens,
+        qb_lo, qb_hi, qmeta, data, scales,
     )
-    return out.reshape(B, Hq, D).astype(q.dtype)
+
+    # ---- batched epilogue: exact self-attention on the current token,
+    # merged into the online-softmax state, then normalization ----
+    kc = k_cur.astype(jnp.float32)  # [B, H, D]
+    vc = v_cur.astype(jnp.float32)
+    s_self = (
+        jnp.einsum("bhgd,bhd->bhg", qg.reshape(B, G, H, D).transpose(0, 2, 1, 3), kc)
+        * sm_scale
+    )  # [B, H, G]
+    s_self = s_self.transpose(0, 2, 1).reshape(B, GH, 1)  # group-major
+    vc_g = jnp.tile(vc, (1, G, 1))  # [B, GH, D] row g*H+h = head h
+    m2 = jnp.maximum(m, s_self)
+    alpha = jnp.exp(m - m2)
+    p_self = jnp.exp(s_self - m2)
+    l2 = jnp.maximum(l * alpha + p_self, 1e-30)
+    out = (acc * alpha + p_self * vc_g) / l2  # [B, GH, D] group-major
+
+    out = (
+        out.reshape(B, G, H, D).transpose(0, 2, 1, 3).reshape(B, Hq, D)
+    )
+    return out.astype(q.dtype)
 
 
 @register_pallas("paged_decode_attention")

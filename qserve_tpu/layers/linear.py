@@ -60,23 +60,35 @@ def apply_linear(
     x: Union[QuantAct, jax.Array],
     group_size: int = 128,
     out_dtype=jnp.bfloat16,
+    idx=None,
 ) -> jax.Array:
+    """idx: optional int32 [d] indices addressing d leading stacked dims on
+    every field of p (layer scan / expert loop): the quantized GEMM kernels
+    read blocks straight out of the stacked arrays via scalar prefetch, so
+    the loop never materializes per-layer weight slices."""
     if isinstance(p, W16Linear):
         assert isinstance(x, jax.Array), "w16 path takes fp activations"
-        return ops.matmul(x, p.weight, out_dtype)
+        w = p.weight
+        if idx is not None:
+            for i in range(w.ndim - 2):
+                w = jax.lax.dynamic_index_in_dim(
+                    w, jnp.asarray(idx).reshape(-1)[i], 0, keepdims=False
+                )
+        return ops.matmul(x, w, out_dtype)
     assert isinstance(x, QuantAct), "quantized path takes QuantAct"
     if isinstance(p, W4ChnLinear):
         assert x.asum is not None, "per-channel W4 needs the act-sum"
         return ops.w4a8_gemm_per_chn(
-            x.q, x.scale, x.asum, p.qweight, p.s1_scale, p.s1_szero, out_dtype
+            x.q, x.scale, x.asum, p.qweight, p.s1_scale, p.s1_szero, out_dtype,
+            idx,
         )
     if isinstance(p, W4GrpLinear):
         return ops.w4a8_gemm_per_group(
             x.q, x.scale, p.qweight, p.s2_scale, p.s2_zero, p.s1_scale,
-            group_size, out_dtype,
+            group_size, out_dtype, idx,
         )
     if isinstance(p, W8Linear):
-        return ops.w8a8_gemm(x.q, x.scale, p.qweight, p.scale, out_dtype)
+        return ops.w8a8_gemm(x.q, x.scale, p.qweight, p.scale, out_dtype, idx)
     raise TypeError(f"unknown linear params {type(p)}")
 
 

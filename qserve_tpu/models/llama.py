@@ -269,23 +269,35 @@ def _layer_forward(
     sin: jax.Array,
     args: LlamaArgs,
     attend,  # fn(q [T,Hq,D], k, v, li) -> [T,Hq,D]
+    stacked: bool = False,  # lp fields carry a leading [L] layer dim
 ) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
     """One decoder layer. Returns (h, (k, v)) — KV-cache appends are the
-    caller's job (batched across layers after the layer loop)."""
+    caller's job (batched across layers after the layer loop).
+
+    stacked=True: lp is the FULL stacked parameter pytree and li addresses
+    it. The quantized GEMMs consume the stacked weights directly (scalar-
+    prefetched layer index) — a lax.scan that slices weights per layer would
+    copy the entire model through HBM every step."""
     T = h.shape[0]
     qspec = args.quant
     int8_act = qspec.act_bits == 8
     gs = qspec.group_size if qspec.group_size > 0 else 128
     tp = args.tp_size > 1
+    idx = jnp.asarray(li, jnp.int32).reshape(1) if stacked else None
+
+    def ln(w):  # layer-norm rows are tiny; slicing them is fine
+        if stacked:
+            return jax.lax.dynamic_index_in_dim(w, li, 0, keepdims=False)
+        return w
 
     # --- attention block (column-parallel qkv, row-parallel o + psum) ---
     if int8_act:
         need_sum = lin.needs_act_sum(lp.qkv)
-        q8, s8, a8 = ops.rmsnorm_quant(h, lp.input_ln, args.rms_eps, need_sum)
-        qkv = lin.apply_linear(lp.qkv, lin.QuantAct(q8, s8, a8), gs)
+        q8, s8, a8 = ops.rmsnorm_quant(h, ln(lp.input_ln), args.rms_eps, need_sum)
+        qkv = lin.apply_linear(lp.qkv, lin.QuantAct(q8, s8, a8), gs, idx=idx)
     else:
-        x = ops.rmsnorm(h, lp.input_ln, args.rms_eps)
-        qkv = lin.apply_linear(lp.qkv, x, gs)
+        x = ops.rmsnorm(h, ln(lp.input_ln), args.rms_eps)
+        qkv = lin.apply_linear(lp.qkv, x, gs, idx=idx)
 
     q, k, v = jnp.split(
         qkv,
@@ -302,27 +314,29 @@ def _layer_forward(
     attn = attn.reshape(T, args.q_size_local)
 
     if int8_act:
-        o = lin.apply_linear(lp.o, _quant_act(attn, lin.needs_act_sum(lp.o)), gs)
+        o = lin.apply_linear(
+            lp.o, _quant_act(attn, lin.needs_act_sum(lp.o)), gs, idx=idx
+        )
     else:
-        o = lin.apply_linear(lp.o, attn, gs)
+        o = lin.apply_linear(lp.o, attn, gs, idx=idx)
     if tp:
         o = jax.lax.psum(o, args.tp_axis)
     h = h + o.astype(h.dtype)
 
     # --- MLP block (column-parallel gate_up, row-parallel down + psum) ---
     if isinstance(lp, MoELayerParams):
-        d = _moe_mlp(lp, h, args, int8_act, gs)
+        d = _moe_mlp(lp, h, args, int8_act, gs, li=li, stacked=stacked)
     elif int8_act:
         need_sum = lin.needs_act_sum(lp.gate_up)
-        g8, gsc, gsum = ops.rmsnorm_quant(h, lp.post_ln, args.rms_eps, need_sum)
-        gu = lin.apply_linear(lp.gate_up, lin.QuantAct(g8, gsc, gsum), gs)
+        g8, gsc, gsum = ops.rmsnorm_quant(h, ln(lp.post_ln), args.rms_eps, need_sum)
+        gu = lin.apply_linear(lp.gate_up, lin.QuantAct(g8, gsc, gsum), gs, idx=idx)
         y8, ysc, ysum = ops.silu_mul_quant(gu, lin.needs_act_sum(lp.down))
-        d = lin.apply_linear(lp.down, lin.QuantAct(y8, ysc, ysum), gs)
+        d = lin.apply_linear(lp.down, lin.QuantAct(y8, ysc, ysum), gs, idx=idx)
     else:
-        x = ops.rmsnorm(h, lp.post_ln, args.rms_eps)
-        gu = lin.apply_linear(lp.gate_up, x, gs)
+        x = ops.rmsnorm(h, ln(lp.post_ln), args.rms_eps)
+        gu = lin.apply_linear(lp.gate_up, x, gs, idx=idx)
         y = ops.silu_mul(gu)
-        d = lin.apply_linear(lp.down, y, gs)
+        d = lin.apply_linear(lp.down, y, gs, idx=idx)
     if tp:
         d = jax.lax.psum(d, args.tp_axis)
     h = h + d.astype(h.dtype)
@@ -330,8 +344,8 @@ def _layer_forward(
 
 
 def _moe_mlp(lp: MoELayerParams, h: jax.Array, args: LlamaArgs,
-             int8_act: bool, gs: int) -> jax.Array:
-    """Sparse-MoE MLP: softmax router -> top-k -> expert FFN scan.
+             int8_act: bool, gs: int, li=None, stacked: bool = False) -> jax.Array:
+    """Sparse-MoE MLP: softmax router -> top-k -> expert-indexed FFNs.
 
     Semantics of the reference's intended MixtralSparseMoeBlock
     (mixtral_w4a8_unpad.py:236-375: softmax over router logits, top-k with
@@ -339,10 +353,22 @@ def _moe_mlp(lp: MoELayerParams, h: jax.Array, args: LlamaArgs,
     the token batch with zero routing weight masking unrouted tokens —
     at decode the step is expert-weight-streaming-bound, so this loses no
     wall-clock vs ragged dispatch while keeping shapes static for XLA.
+    The expert GEMMs index the stacked expert weights via scalar prefetch
+    ([layer, expert]) — neither the layer scan nor the expert loop ever
+    slices the stacked weight arrays (the copy tax the reference's
+    unreleased moe_helpers would have paid with torch gathers).
     """
     T = h.shape[0]
-    x = ops.rmsnorm(h, lp.post_ln, args.rms_eps)
-    router_logits = ops.matmul(x, lp.router.astype(jnp.bfloat16), jnp.float32)
+    post_ln = (
+        jax.lax.dynamic_index_in_dim(lp.post_ln, li, 0, keepdims=False)
+        if stacked else lp.post_ln
+    )
+    router = (
+        jax.lax.dynamic_index_in_dim(lp.router, li, 0, keepdims=False)
+        if stacked else lp.router
+    )
+    x = ops.rmsnorm(h, post_ln, args.rms_eps)
+    router_logits = ops.matmul(x, router.astype(jnp.bfloat16), jnp.float32)
     probs = jax.nn.softmax(router_logits, axis=-1)  # [T, n_exp]
     topv, topi = jax.lax.top_k(probs, args.moe_top_k)
     topv = topv / jnp.sum(topv, axis=-1, keepdims=True)  # [T, k]
@@ -354,37 +380,43 @@ def _moe_mlp(lp: MoELayerParams, h: jax.Array, args: LlamaArgs,
     if int8_act:
         qx = _quant_act(x, lin.needs_act_sum(lp.gate_up))
 
-    def expert_body(acc, xs):
-        e_gu, e_down, cw = xs  # cw [T]
-        if int8_act:
-            gu = lin.apply_linear(e_gu, qx, gs)
-            y8, ysc, ysum = ops.silu_mul_quant(gu, lin.needs_act_sum(e_down))
-            d = lin.apply_linear(e_down, lin.QuantAct(y8, ysc, ysum), gs)
+    acc = jnp.zeros((T, args.hidden_size), jnp.float32)
+    for e in range(n_exp):
+        if stacked:
+            eidx = jnp.stack([jnp.asarray(li, jnp.int32), jnp.int32(e)])
         else:
-            gu = lin.apply_linear(e_gu, x, gs)
-            d = lin.apply_linear(e_down, ops.silu_mul(gu), gs)
-        return acc + cw[:, None] * d.astype(jnp.float32), None
-
-    acc, _ = jax.lax.scan(
-        expert_body,
-        jnp.zeros((T, args.hidden_size), jnp.float32),
-        (lp.gate_up, lp.down, combine.T),
-    )
+            eidx = jnp.asarray([e], jnp.int32)
+        if int8_act:
+            gu = lin.apply_linear(lp.gate_up, qx, gs, idx=eidx)
+            y8, ysc, ysum = ops.silu_mul_quant(gu, lin.needs_act_sum(lp.down))
+            d = lin.apply_linear(lp.down, lin.QuantAct(y8, ysc, ysum), gs, idx=eidx)
+        else:
+            gu = lin.apply_linear(lp.gate_up, x, gs, idx=eidx)
+            d = lin.apply_linear(lp.down, ops.silu_mul(gu), gs, idx=eidx)
+        acc = acc + combine[:, e : e + 1] * d.astype(jnp.float32)
     return acc
 
 
 def _run_layers(params, h, cos, sin, args, attend):
-    """Run all layers; returns (h, (k_all, v_all) stacked [L, T, Hkv, D])."""
-    if args.scan_layers:
+    """Run all layers; returns (h, (k_all, v_all) stacked [L, T, Hkv, D]).
 
-        def body(carry, xs):
-            lp, li = xs
-            h = carry
-            h, kv_new = _layer_forward(lp, li, h, cos, sin, args, attend)
+    scan_layers: the scan iterates over the layer INDEX only; the stacked
+    parameter pytree is captured whole and the quantized GEMM/attention
+    kernels address it by scalar-prefetched index. Putting params.layers in
+    the scan xs instead would make XLA dynamic-slice (copy) every layer's
+    weights around each pallas_call — an extra full-model HBM round trip
+    per step."""
+    if args.scan_layers:
+        layers = params.layers
+
+        def body(h, li):
+            h, kv_new = _layer_forward(
+                layers, li, h, cos, sin, args, attend, stacked=True
+            )
             return h, kv_new
 
         lis = jnp.arange(args.num_layers, dtype=jnp.int32)
-        h, kv_new = jax.lax.scan(body, h, (params.layers, lis))
+        h, kv_new = jax.lax.scan(body, h, lis)
         return h, kv_new
     else:
         ks, vs = [], []

@@ -74,3 +74,88 @@ class TestW8A8:
         out = pg.w8a8_gemm_pallas(a, ascale, p.qweight, p.scale, jnp.float32)
         ref = qoq.w8a8_gemm_ref(a, ascale, p, jnp.float32)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-4)
+
+
+class TestStackedIndexed:
+    """Stacked (layer/expert-indexed) operands: the kernel must read blocks
+    of layer idx straight from [L, ...] arrays via scalar prefetch."""
+
+    def test_w4a8_chn_stacked_layer(self):
+        L, M, K, N = 3, 8, 512, 128
+        packs, s1s, szs, refs = [], [], [], []
+        a = None
+        for li in range(L):
+            x, w = _inputs(M, K, N, key=10 + li)
+            p = qoq.quantize_weight_per_channel(w)
+            packs.append(packing.pack_w4(p.qweight))
+            s1s.append(p.s1_scale)
+            szs.append(p.s1_szero)
+            if a is None:
+                a, ascale, asum = qoq.quantize_activation_per_token(x, with_sum=True)
+            refs.append(qoq.w4a8_gemm_per_channel_ref(a, ascale, asum, p, jnp.float32))
+        qw = jnp.stack(packs)
+        s1 = jnp.stack(s1s)
+        sz = jnp.stack(szs)
+        for li in range(L):
+            out = pg.w4a8_gemm_per_chn_pallas(
+                a, ascale, asum, qw, s1, sz, jnp.float32,
+                idx=jnp.asarray([li], jnp.int32),
+            )
+            np.testing.assert_allclose(
+                np.asarray(out), np.asarray(refs[li]), rtol=2e-5, atol=2e-4
+            )
+
+    def test_w4a8_grp_stacked_layer_expert(self):
+        L, E, M, K, N, G = 2, 2, 8, 2048, 128, 128
+        packs, s2s, s2z, s1s, refs = [], [], [], [], []
+        a = None
+        for li in range(L):
+            rowp, rows2, rowz, rows1, rowref = [], [], [], [], []
+            for e in range(E):
+                x, w = _inputs(M, K, N, key=20 + li * E + e)
+                p = qoq.quantize_weight_per_group(w, G)
+                rowp.append(packing.pack_w4(p.qweight))
+                rows2.append(p.s2_scale)
+                rowz.append(p.s2_zero)
+                rows1.append(p.s1_scale)
+                if a is None:
+                    a, ascale, _ = qoq.quantize_activation_per_token(x)
+                rowref.append(qoq.w4a8_gemm_per_group_ref(a, ascale, p, G, jnp.float32))
+            packs.append(jnp.stack(rowp))
+            s2s.append(jnp.stack(rows2))
+            s2z.append(jnp.stack(rowz))
+            s1s.append(jnp.stack(rows1))
+            refs.append(rowref)
+        qw = jnp.stack(packs)  # [L, E, K/2, N]
+        for li in range(L):
+            for e in range(E):
+                out = pg.w4a8_gemm_per_group_pallas(
+                    a, ascale, qw, jnp.stack(s2s), jnp.stack(s2z),
+                    jnp.stack(s1s), G, jnp.float32,
+                    idx=jnp.asarray([li, e], jnp.int32),
+                )
+                np.testing.assert_allclose(
+                    np.asarray(out), np.asarray(refs[li][e]), rtol=2e-5, atol=2e-4
+                )
+
+    def test_w8a8_stacked_layer(self):
+        L, M, K, N = 2, 8, 512, 128
+        packs, scales, refs = [], [], []
+        a = None
+        for li in range(L):
+            x, w = _inputs(M, K, N, key=30 + li)
+            p = qoq.quantize_weight_w8(w)
+            packs.append(p.qweight)
+            scales.append(p.scale)
+            if a is None:
+                a, ascale, _ = qoq.quantize_activation_per_token(x)
+            refs.append(qoq.w8a8_gemm_ref(a, ascale, p, jnp.float32))
+        qw = jnp.stack(packs)
+        ws = jnp.stack(scales)
+        for li in range(L):
+            out = pg.w8a8_gemm_pallas(
+                a, ascale, qw, ws, jnp.float32, idx=jnp.asarray([li], jnp.int32)
+            )
+            np.testing.assert_allclose(
+                np.asarray(out), np.asarray(refs[li]), rtol=2e-5, atol=2e-4
+            )

@@ -41,10 +41,13 @@ def main():
     )
     maxP = -(-(CTX + 64) // PAGE)
     params = llama.random_quantized_params(jax.random.PRNGKey(0), args)
-    kv0 = kvc.create_kv_cache(
-        args.num_layers, B * maxP + 8, args.num_kv_heads, PAGE, args.head_dim,
-        args.quant.kv_bits,
-    )
+
+    def fresh_cache():
+        return kvc.create_kv_cache(
+            args.num_layers, B * maxP + 8, args.num_kv_heads, PAGE,
+            args.head_dim, args.quant.kv_bits,
+        )
+
     jax.block_until_ready(params.layers)
     bt = jnp.asarray(
         np.arange(B * maxP, dtype=np.int32).reshape(B, maxP)
@@ -108,7 +111,7 @@ def main():
 
     for variant in VARIANTS:
         step = make_decode(variant)
-        kv = jax.tree.map(jnp.copy, kv0)
+        kv = fresh_cache()
 
         def chain(n, tok):
             nonlocal kv

@@ -118,6 +118,9 @@ class CacheConfig:
     swap_space_gb: int = 0
     num_device_pages: Optional[int] = None  # None = auto-size
     num_cpu_pages: int = 0
+    # Mistral-style sliding window (tokens): the block manager reuses pages
+    # cyclically past it and the attention kernels mask to it; None = full
+    sliding_window: Optional[int] = None
     quant: QuantSpec = dataclasses.field(
         default_factory=lambda: QuantSpec.from_precision("w4a8kv4")
     )

@@ -73,6 +73,7 @@ class Scheduler:
             block_size=cache_config.block_size,
             num_device_pages=cache_config.num_device_pages or 0,
             num_cpu_pages=cache_config.num_cpu_pages,
+            sliding_window=getattr(cache_config, "sliding_window", None),
         )
         self.waiting: Deque[SequenceGroup] = deque()
         self.running: Deque[SequenceGroup] = deque()

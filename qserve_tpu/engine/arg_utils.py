@@ -190,6 +190,11 @@ class EngineArgs:
                 self.model, quant, self.scan_layers, self.quant_path
             )
 
+        if args.sliding_window is not None:
+            # plumb the model's window into the allocator (cyclic page reuse)
+            # and (via LlamaArgs) the attention kernels' masks
+            cache_config.sliding_window = args.sliding_window
+
         if cache_config.num_device_pages is None:
             cache_config.num_device_pages = auto_num_pages(
                 args, cache_config, self.gpu_memory_utilization

@@ -28,15 +28,18 @@ def prefill_attention(
     v: jax.Array,  # [T, Hkv, D]
     segment_ids: jax.Array,  # [T] int32, 0 = padding, >0 = sequence id
     sm_scale: Optional[float] = None,
+    sliding_window: Optional[int] = None,
 ) -> jax.Array:
     """Causal self-attention over a packed batch of variable-length prompts.
 
     Padding-free packing: sequences are contiguous in T, identified by
-    segment id; the mask is (same segment) & (causal).
+    segment id; the mask is (same segment) & (causal) [& (within window)].
+    Positions within a segment are CONSECUTIVE in T (how pack_prefill lays
+    prompts out), so the window mask can use stream indices directly.
     """
     fn = _impl("prefill_attention")
     if fn is not None:
-        out = fn(q, k, v, segment_ids, sm_scale)
+        out = fn(q, k, v, segment_ids, sm_scale, sliding_window)
         if out is not None:  # None = config unsupported by the kernel
             return out
 
@@ -53,11 +56,12 @@ def prefill_attention(
     ) * sm
     same = segment_ids[:, None] == segment_ids[None, :]
     valid = (segment_ids > 0)[:, None] & (segment_ids > 0)[None, :]
-    causal = (
-        jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
-        <= jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
-    )
+    ti = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
+    si = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
+    causal = si <= ti
     mask = same & causal & valid
+    if sliding_window is not None:
+        mask = mask & (si > ti - sliding_window)
     scores = jnp.where(mask[None], scores, NEG_INF)
     p = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("hts,shd->thd", p, vq.astype(jnp.float32))
@@ -74,6 +78,7 @@ def paged_decode_attention(
     v_cur: jax.Array,  # [B, Hkv, D]
     kv_bits: int,
     sm_scale: Optional[float] = None,
+    sliding_window: Optional[int] = None,
 ) -> jax.Array:
     """Single-token decode attention over the quantized paged KV history.
 
@@ -81,11 +86,14 @@ def paged_decode_attention(
     inputs and self-attended exactly (the reference MMHA appends + attends
     in-kernel, Template.hpp:1221-1349 — here appends are batched per step
     instead, so the big cache arrays see one scatter, not L of them).
+    sliding_window: attend only the last `window` keys (incl. the current
+    token); pairs with the allocator's cyclic page reuse
+    (core/block_manager.py, reference block_manager.py:192-225).
     """
     fn = _impl("paged_decode_attention")
     if fn is not None:
         out = fn(q, cache, block_tables, context_lens, layer_idx,
-                 k_cur, v_cur, kv_bits, sm_scale)
+                 k_cur, v_cur, kv_bits, sm_scale, sliding_window)
         if out is not None:  # None = config unsupported by the kernel
             return out
 
@@ -107,7 +115,11 @@ def paged_decode_attention(
     scores = jnp.einsum("bhrd,bshd->bhrs", qf, k) * sm
     pos = jax.lax.broadcasted_iota(jnp.int32, (B, S + 1), 1)
     # history valid below ctx-1; the appended column (index S) is the self
-    mask = (pos < jnp.maximum(context_lens - 1, 0)[:, None]) | (pos == S)
+    hist = jnp.maximum(context_lens - 1, 0)[:, None]
+    in_hist = pos < hist
+    if sliding_window is not None:
+        in_hist = in_hist & (pos > hist - sliding_window)
+    mask = in_hist | (pos == S)
     scores = jnp.where(mask[:, None, None, :], scores, NEG_INF)
     p = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bhrs,bshd->bhrd", p, v)

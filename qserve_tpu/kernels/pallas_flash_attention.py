@@ -41,6 +41,7 @@ def _flash_kernel(
     bk: int,
     sm_scale: float,
     nj: int,
+    window: int,  # 0 = full causal; else keys with k_pos > q_pos - window
 ):
     i, j = pl.program_id(1), pl.program_id(2)
 
@@ -50,7 +51,13 @@ def _flash_kernel(
         m_ref[:] = jnp.full_like(m_ref, NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
 
-    @pl.when(j <= i)
+    # block-level skip: beyond-causal blocks and (sliding window) blocks
+    # wholly below every query row's window
+    compute = j <= i
+    if window > 0:
+        compute = compute & ((j + 1) * bk > i * bt - window + 1)
+
+    @pl.when(compute)
     def _():
         # bf16 operands, f32 accumulate: full-rate MXU (f32 dots run at
         # 1/8 rate and prefill attention is compute-bound)
@@ -68,6 +75,10 @@ def _flash_kernel(
         seg_q = sq_ref[:]  # [BT, 1]
         seg_k = sk_ref[:]  # [1, BK]
         mask = (seg_q == seg_k) & (seg_q > 0) & (q_pos >= k_pos)
+        if window > 0:
+            # packed prompts are consecutive in the stream, so stream
+            # indices difference == position difference within a segment
+            mask = mask & (k_pos > q_pos - window)
         s = jnp.where(mask, s, NEG_INF)
 
         m_prev = m_ref[:]
@@ -89,13 +100,14 @@ def _flash_kernel(
         out_ref[0] = (acc_ref[:] / l).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("sm_scale",))
+@functools.partial(jax.jit, static_argnames=("sm_scale", "window"))
 def flash_prefill_attention_pallas(
     q: jax.Array,  # [T, Hq, D]
     k: jax.Array,  # [T, Hkv, D]
     v: jax.Array,  # [T, Hkv, D]
     segment_ids: jax.Array,  # [T] int32, 0 = padding
     sm_scale: float,
+    window: int = 0,
 ) -> jax.Array:
     T, Hq, D = q.shape
     Hkv = k.shape[1]
@@ -114,7 +126,8 @@ def flash_prefill_attention_pallas(
 
     out = pl.pallas_call(
         functools.partial(
-            _flash_kernel, bt=bt, bk=bk, sm_scale=sm_scale, nj=nT
+            _flash_kernel, bt=bt, bk=bk, sm_scale=sm_scale, nj=nT,
+            window=window,
         ),
         grid=(Hq, nT, nT),
         in_specs=[
@@ -147,9 +160,11 @@ def flash_prefill_attention_pallas(
 
 
 @register_pallas("prefill_attention")
-def _prefill_dispatch(q, k, v, segment_ids, sm_scale):
+def _prefill_dispatch(q, k, v, segment_ids, sm_scale, sliding_window=None):
     T, Hq, D = q.shape
     if D % 128 != 0 or T % 128 != 0:
         return None
     sm = sm_scale if sm_scale is not None else 1.0 / (D ** 0.5)
-    return flash_prefill_attention_pallas(q, k, v, segment_ids, sm)
+    return flash_prefill_attention_pallas(
+        q, k, v, segment_ids, sm, window=int(sliding_window or 0)
+    )

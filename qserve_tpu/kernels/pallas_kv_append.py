@@ -134,8 +134,12 @@ def _append_kernel(
             lane = jax.lax.broadcasted_iota(
                 jnp.int32, (sblk.shape[1], sblk.shape[2], ps), 2
             )
-            newv = scrows_ref[0, t][:, :, None]  # [2, 2H, 1]
-            sblk[tc] = jnp.where(lane == slot, newv, sblk[tc])
+            # merge in f32: Mosaic rejects the [2, 2H] -> [2, 2H, 1] reshape
+            # on bf16 vectors (bf16 scale storage), and the upcast is tiny
+            newv = scrows_ref[0, t].astype(jnp.float32)[:, :, None]  # [2,2H,1]
+            sblk[tc] = jnp.where(
+                lane == slot, newv, sblk[tc].astype(jnp.float32)
+            ).astype(sblk.dtype)
             pltpu.make_async_copy(
                 sblk.at[tc], scales_out.at[li, page], sem_sw.at[tc]
             ).start()
@@ -284,7 +288,7 @@ def kv_append_inplace(
         ],
         scratch_shapes=[
             pltpu.VMEM((min(T, _CHUNK), 2, _GRP, HDc), jnp.int8),
-            pltpu.VMEM((min(T, _CHUNK), 2, twoH, ps), jnp.float32),
+            pltpu.VMEM((min(T, _CHUNK), 2, twoH, ps), scales.dtype),
             pltpu.SemaphoreType.DMA((min(T, _CHUNK),)),
             pltpu.SemaphoreType.DMA((min(T, _CHUNK),)),
             pltpu.SemaphoreType.DMA((min(T, _CHUNK),)),

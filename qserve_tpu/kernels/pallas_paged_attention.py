@@ -106,6 +106,7 @@ def _paged_attn_kernel(
     interpret: bool,
     PCHUNK: int,
     NBUF: int,
+    window: int,  # 0 = full attention; else positions [hist-window, hist)
 ):
     b = pl.program_id(0)
     li = li_ref[0]
@@ -113,6 +114,18 @@ def _paged_attn_kernel(
     hist = jnp.maximum(ctx - 1, 0)
     npages = jax.lax.div(hist + ps - 1, ps)
     nblocks = jax.lax.div(npages + PCHUNK - 1, PCHUNK)
+    # sliding window: logical pages wholly below the window are never read
+    # (their physical pages may already be cyclically overwritten — the
+    # allocator reuses pages mod window_pages, core/block_manager.py); the
+    # congruence classes guarantee each in-window position is stored at its
+    # block-table slot with latest-write-wins semantics.
+    if window > 0:
+        # the current token (position hist) attends the last `window` keys
+        # including itself: history positions p with p > hist - window
+        win_lo = jnp.maximum(hist - window + 1, 0)
+        lo_block = jax.lax.div(win_lo, ps * PCHUNK)
+    else:
+        lo_block = jnp.int32(0)
     dc = D // 2 if kv4 else D
     GH = G * H
     ps2 = PCHUNK * ps
@@ -168,9 +181,10 @@ def _paged_attn_kernel(
                 ).wait()
 
     for j in range(NBUF):
-        @pl.when(j < nblocks)
+        @pl.when(lo_block + j < nblocks)
         def _(j=j):
-            start_block(j, j)
+            blk = lo_block + j
+            start_block(jax.lax.rem(blk, NBUF), blk)
 
     def tile_g(row):  # [H, ps2] -> [GH, ps2] by stacking G copies (row g*H+h)
         if G == 1:
@@ -216,6 +230,8 @@ def _paged_attn_kernel(
 
         pos = blk * ps2 + jax.lax.broadcasted_iota(jnp.int32, (1, ps2), 1)
         valid = pos < hist  # [1, ps2]; the current token is merged outside
+        if window > 0:
+            valid = valid & (pos > hist - window)
         # sm_scale is folded into qsc/qsm by the host-side prep
         s_gp = qk.astype(jnp.float32) * qsc * ks + qsm * kz
         s_gp = jnp.where(valid, s_gp, NEG_INF)
@@ -266,7 +282,7 @@ def _paged_attn_kernel(
             start_block(slot, blk + NBUF)
         return 0
 
-    jax.lax.fori_loop(0, nblocks, body, 0, unroll=False)
+    jax.lax.fori_loop(lo_block, nblocks, body, 0, unroll=False)
 
     acc_out[0] = acc_ref[:]
     m_out[0] = m_ref[:]
@@ -277,7 +293,7 @@ def supports(page_size: int, head_dim: int) -> bool:
     return page_size % 128 == 0 and head_dim % 128 == 0
 
 
-@functools.partial(jax.jit, static_argnames=("kv4", "sm_scale"))
+@functools.partial(jax.jit, static_argnames=("kv4", "sm_scale", "window"))
 def paged_decode_attention_pallas(
     q: jax.Array,  # [B, Hq, D] (any float dtype)
     data: jax.Array,  # [L, P, 2, ps, H*Dc] int8 (full stacked cache)
@@ -289,6 +305,7 @@ def paged_decode_attention_pallas(
     v_cur: jax.Array,  # [B, H, D]
     kv4: bool,
     sm_scale: float,
+    window: int = 0,  # 0 = full attention; else sliding window length
 ) -> jax.Array:
     B, Hq, D = q.shape
     twoH, ps = scales.shape[-2], scales.shape[-1]
@@ -368,6 +385,7 @@ def paged_decode_attention_pallas(
         functools.partial(
             _paged_attn_kernel, ps=ps, H=H, G=G, D=D, kv4=kv4,
             interpret=interpret_mode(), PCHUNK=PCHUNK, NBUF=NBUF,
+            window=window,
         ),
         grid_spec=grid_spec,
         out_shape=[
@@ -417,7 +435,7 @@ def paged_decode_attention_pallas(
 
 @register_pallas("paged_decode_attention")
 def _paged_attn_dispatch(q, cache, block_tables, context_lens, layer_idx,
-                         k_cur, v_cur, kv_bits, sm_scale):
+                         k_cur, v_cur, kv_bits, sm_scale, sliding_window=None):
     import os
 
     D = q.shape[-1]
@@ -430,4 +448,5 @@ def _paged_attn_dispatch(q, cache, block_tables, context_lens, layer_idx,
     return paged_decode_attention_pallas(
         q, cache.data, cache.scales, block_tables, context_lens,
         layer_idx, k_cur, v_cur, kv_bits == 4, sm,
+        window=int(sliding_window or 0),
     )

@@ -47,6 +47,9 @@ class LlamaArgs:
     head_dim: int
     rope_theta: float = 10000.0
     rms_eps: float = 1e-6
+    # Mistral-style sliding-window attention (None = full); pairs with the
+    # block manager's cyclic page reuse (reference block_manager.py:192-225)
+    sliding_window: Optional[int] = None
     quant: QuantSpec = QuantSpec(4, 8, 4, True, -1)
     scan_layers: bool = True
     logit_dtype: Any = jnp.float32
@@ -110,6 +113,7 @@ class LlamaArgs:
             head_dim=head_dim,
             rope_theta=getattr(cfg, "rope_theta", 10000.0),
             rms_eps=getattr(cfg, "rms_norm_eps", 1e-6),
+            sliding_window=getattr(cfg, "sliding_window", None),
             quant=quant,
             scan_layers=scan_layers,
         )
@@ -478,7 +482,9 @@ def prefill_from_hidden(
     cos, sin = rope.rope_cos_sin(positions, args.head_dim, args.rope_theta)
 
     def attend(q, k, v, _li):
-        return attention.prefill_attention(q, k, v, segment_ids)
+        return attention.prefill_attention(
+            q, k, v, segment_ids, sliding_window=args.sliding_window
+        )
 
     h, (k_all, v_all) = _run_layers(params, h, cos, sin, args, attend)
     # prefill: packed prompts touch at most T/ps + B distinct pages, each
@@ -528,7 +534,8 @@ def decode(
 
     def attend(q, k, v, li):
         return attention.paged_decode_attention(
-            q, kv, block_tables, context_lens, li, k, v, args.quant.kv_bits
+            q, kv, block_tables, context_lens, li, k, v, args.quant.kv_bits,
+            sliding_window=args.sliding_window,
         )
 
     h, (k_all, v_all) = _run_layers(params, h, cos, sin, args, attend)
@@ -573,7 +580,9 @@ def teacher_forced_nll(
     cos, sin = rope.rope_cos_sin(positions, args.head_dim, args.rope_theta)
 
     def attend(q, k, v, _li):
-        return attention.prefill_attention(q, k, v, segment_ids)
+        return attention.prefill_attention(
+            q, k, v, segment_ids, sliding_window=args.sliding_window
+        )
 
     h, _ = _run_layers(params, h, cos, sin, args, attend)
     h = ops.rmsnorm(h, params.final_ln, args.rms_eps)

@@ -56,6 +56,7 @@ def args_from_config_dict(
         head_dim=head_dim,
         rope_theta=cfg.get("rope_theta", 10000.0),
         rms_eps=cfg.get("rms_norm_eps", 1e-6),
+        sliding_window=cfg.get("sliding_window"),
         quant=quant,
         scan_layers=scan_layers,
     )

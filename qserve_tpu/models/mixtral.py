@@ -35,6 +35,7 @@ def args_from_config_dict(
         head_dim=head_dim,
         rope_theta=cfg.get("rope_theta", 1e6),
         rms_eps=cfg.get("rms_norm_eps", 1e-5),
+        sliding_window=cfg.get("sliding_window"),
         quant=quant,
         scan_layers=scan_layers,
         num_experts=cfg.get("num_local_experts", 8),

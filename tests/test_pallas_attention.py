@@ -180,3 +180,113 @@ class TestAppendAllLayers:
         )
         np.testing.assert_array_equal(np.asarray(out.data), 0)
         np.testing.assert_array_equal(np.asarray(out.scales), 0)
+
+
+def reference_attention_windowed(cache, bt, q, ctx, li, k_cur, v_cur, kv_bits,
+                                 window):
+    """Windowed float reference: history positions p with
+    ctx-window <= p < ctx-1, plus the exact self column."""
+    B, Hq, D = q.shape
+    layer = cache.layer(li)
+    k, v = kvc.gather_dequant_layer(layer, bt, kv_bits)
+    H = k.shape[2]
+    rep = Hq // H
+    S = k.shape[1]
+    k = jnp.concatenate([k, k_cur.astype(jnp.float32)[:, None]], axis=1)
+    v = jnp.concatenate([v, v_cur.astype(jnp.float32)[:, None]], axis=1)
+    qf = q.astype(jnp.float32).reshape(B, H, rep, D)
+    sm = 1.0 / D ** 0.5
+    scores = jnp.einsum("bhrd,bshd->bhrs", qf, k) * sm
+    pos = jax.lax.broadcasted_iota(jnp.int32, (B, S + 1), 1)
+    hist = jnp.maximum(ctx - 1, 0)[:, None]
+    mask = ((pos < hist) & (pos > hist - window)) | (pos == S)
+    scores = jnp.where(mask[:, None, None, :], scores, -1e30)
+    p = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bhrs,bshd->bhrd", p, v).reshape(B, Hq, D)
+
+
+class TestSlidingWindow:
+    @pytest.mark.parametrize("ctx_lens,window", [([70], 32), ([33, 90], 48)])
+    def test_window_matches_reference(self, ctx_lens, window):
+        """Pallas kernel with a window vs the windowed float reference
+        (history fully materialized — no cyclic overwrite in this test)."""
+        L, B, H, G, D, ps = 1, len(ctx_lens), 2, 2, 128, 16
+        Hq = H * G
+        key = jax.random.PRNGKey(3)
+        hist = [c - 1 for c in ctx_lens]
+        cache, bt = build_cache_with_history(
+            key, L, B, hist, H, D, ps, 4, num_pages=32
+        )
+        q = jax.random.normal(jax.random.fold_in(key, 7), (B, Hq, D), jnp.float32)
+        k_cur = jax.random.normal(jax.random.fold_in(key, 8), (B, H, D), jnp.float32)
+        v_cur = jax.random.normal(jax.random.fold_in(key, 9), (B, H, D), jnp.float32)
+        ctx = jnp.asarray(ctx_lens, jnp.int32)
+
+        out = ppa.paged_decode_attention_pallas(
+            q, cache.data, cache.scales, bt, ctx, jnp.int32(0),
+            k_cur, v_cur, True, 1.0 / D ** 0.5, window=window,
+        )
+        expect = reference_attention_windowed(
+            cache, bt, q, ctx, jnp.int32(0), k_cur, v_cur, 4, window
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(expect), rtol=0.15, atol=0.15
+        )
+        # and the XLA fallback path agrees too
+        out_xla = attention.paged_decode_attention(
+            q, cache, bt, ctx, jnp.int32(0), k_cur, v_cur, 4,
+            sliding_window=window,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_xla), np.asarray(expect), rtol=1e-4, atol=1e-4
+        )
+
+    def test_cyclic_pages_consistent(self):
+        """With cyclic page aliasing (the allocator's reuse past the window),
+        the kernel must read each in-window position from its block-table
+        slot: simulate decode past the window and compare against a cache
+        big enough to never wrap."""
+        L, H, G, D, ps = 1, 2, 2, 128, 16
+        Hq = H * G
+        window = 2 * ps  # 2 pages
+        wp = window // ps
+        total = 5 * ps  # generate well past the window
+        key = jax.random.PRNGKey(5)
+        k_hist = jax.random.normal(key, (L, total, H, D), jnp.float32)
+        v_hist = jax.random.normal(jax.random.fold_in(key, 1), (L, total, H, D),
+                                   jnp.float32)
+
+        # linear cache: pages 0..4, logical = physical
+        lin_cache = kvc.create_kv_cache(L, 8, H, ps, D, 4)
+        pages_lin = jnp.asarray([i // ps for i in range(total)], jnp.int32)
+        slots = jnp.asarray([i % ps for i in range(total)], jnp.int32)
+        lin_cache = kvc.append_all_layers(
+            lin_cache, k_hist, v_hist, pages_lin, slots, 4, True
+        )
+        bt_lin = jnp.asarray([[0, 1, 2, 3, 4]], jnp.int32)
+
+        # cyclic cache: 2 physical pages, logical page l -> l % wp, written
+        # in POSITION ORDER (later writes win, as decode would)
+        cyc_cache = kvc.create_kv_cache(L, 4, H, ps, D, 4)
+        pages_cyc = jnp.asarray([(i // ps) % wp for i in range(total)], jnp.int32)
+        cyc_cache = kvc.append_all_layers(
+            cyc_cache, k_hist, v_hist, pages_cyc, slots, 4, True
+        )
+        bt_cyc = jnp.asarray([[0, 1, 0, 1, 0]], jnp.int32)
+
+        q = jax.random.normal(jax.random.fold_in(key, 7), (1, Hq, D), jnp.float32)
+        k_cur = jax.random.normal(jax.random.fold_in(key, 8), (1, H, D), jnp.float32)
+        v_cur = jax.random.normal(jax.random.fold_in(key, 9), (1, H, D), jnp.float32)
+        ctx = jnp.asarray([total + 1], jnp.int32)
+
+        out_lin = ppa.paged_decode_attention_pallas(
+            q, lin_cache.data, lin_cache.scales, bt_lin, ctx, jnp.int32(0),
+            k_cur, v_cur, True, 1.0 / D ** 0.5, window=window,
+        )
+        out_cyc = ppa.paged_decode_attention_pallas(
+            q, cyc_cache.data, cyc_cache.scales, bt_cyc, ctx, jnp.int32(0),
+            k_cur, v_cur, True, 1.0 / D ** 0.5, window=window,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_cyc), np.asarray(out_lin), rtol=1e-5, atol=1e-5
+        )

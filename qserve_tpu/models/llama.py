@@ -560,6 +560,7 @@ def teacher_forced_nll(
     length: jax.Array,  # scalar int32: number of valid tokens
     args: LlamaArgs,
     row_chunk: int = 256,
+    simulate_kv_quant: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Sum of -log p(token[t+1] | tokens[:t+1]) for t+1 < length.
 
@@ -569,6 +570,11 @@ def teacher_forced_nll(
     (nll_sum f32, count i32). Mirrors the reference's accuracy protocol
     (README.md:371-389, WikiText-2, eval seqlen 2048 — evaluated externally
     by DeepCompressor there; in-framework here).
+
+    simulate_kv_quant=True additionally round-trips every K/V through the
+    serving KV quantizer (per-token-per-head asymmetric, args.quant.kv_bits)
+    before attention, so the measured ΔPPL covers the full W4A8KV4 claim,
+    not just the weight/activation part.
     """
     T = token_ids.shape[0]
     assert T % row_chunk == 0, f"T={T} not a multiple of row_chunk={row_chunk}"
@@ -579,7 +585,19 @@ def teacher_forced_nll(
     h = params.embed[token_ids].astype(jnp.bfloat16)
     cos, sin = rope.rope_cos_sin(positions, args.head_dim, args.rope_theta)
 
+    def kv_roundtrip(x):
+        from qserve_tpu.quant import qoq
+
+        q, scale, zero = qoq.quantize_kv(
+            x.astype(jnp.float32), bits=args.quant.kv_bits,
+            asymmetric=args.quant.kv_zero_point,
+        )
+        return (q.astype(jnp.float32) * scale + zero).astype(x.dtype)
+
     def attend(q, k, v, _li):
+        if simulate_kv_quant:
+            k = kv_roundtrip(k)
+            v = kv_roundtrip(v)
         return attention.prefill_attention(
             q, k, v, segment_ids, sliding_window=args.sliding_window
         )

@@ -218,9 +218,23 @@ def kv_cache_specs() -> kvc.KVCache:
     )
 
 
+def _put(x, spec: P, mesh: Mesh):
+    """Shard a host-local array onto the mesh.
+
+    Single process: plain device_put. Multi-host: every host holds the full
+    (replicated-by-determinism) value, so each host materializes only its
+    addressable shards via make_array_from_callback — device_put cannot
+    address remote hosts' devices."""
+    sh = NamedSharding(mesh, spec)
+    if jax.process_count() == 1:
+        return jax.device_put(x, sh)
+    xn = np.asarray(x)
+    return jax.make_array_from_callback(xn.shape, sh, lambda idx: xn[idx])
+
+
 def shard_params(params, specs, mesh: Mesh):
     return jax.tree.map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs,
+        lambda x, s: _put(x, s, mesh), params, specs,
         is_leaf=lambda x: isinstance(x, P),
     )
 
@@ -228,7 +242,7 @@ def shard_params(params, specs, mesh: Mesh):
 def shard_kv_cache(cache: kvc.KVCache, mesh: Mesh) -> kvc.KVCache:
     specs = kv_cache_specs()
     return kvc.KVCache(
-        *(jax.device_put(a, NamedSharding(mesh, s)) for a, s in zip(cache, specs))
+        *(_put(a, s, mesh) for a, s in zip(cache, specs))
     )
 
 

@@ -70,6 +70,28 @@ class TPModelRunner(ModelRunner):
         self._prefill_fn, self._decode_fn = tpmod.build_step_fns(
             args, self.mesh, specs
         )
+        # multi-host: every host runs the identical (deterministic) scheduler,
+        # so host-local marshalled arrays are globally consistent; they enter
+        # the mesh-spanning step fns as global arrays built from each host's
+        # addressable shards (parallel/distributed.py design notes)
+        self.multihost = jax.process_count() > 1
+
+    def _feed(self, x, spec=None):
+        """np/jnp host array -> step-fn input (global array when multi-host)."""
+        if not self.multihost:
+            return jnp.asarray(x)
+        from jax.experimental import multihost_utils as mhu
+        from jax.sharding import PartitionSpec as P
+
+        return mhu.host_local_array_to_global_array(
+            np.asarray(x), self.mesh, spec if spec is not None else P()
+        )
+
+    def _fetch(self, toks) -> np.ndarray:
+        """Sampled tokens -> host np (replicated across a host's shards)."""
+        if not self.multihost:
+            return np.asarray(jax.device_get(toks))
+        return np.asarray(toks.addressable_data(0))
 
     @classmethod
     def from_random_tp(cls, model_args, max_model_len, block_size, tp_size,
@@ -101,12 +123,16 @@ class TPModelRunner(ModelRunner):
             prompts, tables, self.block_size, T, B
         )
         temp, topp, topk = self._sampling_arrays(sp_list, B)
+        from jax.sharding import PartitionSpec as P
+
+        dpv = P(tpmod.DP)
         toks, cache_engine.cache = self._prefill_fn(
             self.params, cache_engine.cache,
-            *map(jnp.asarray, (tok, pos, sg, pg, sl, li)),
-            temp, topp, topk, self._next_key(),
+            *(self._feed(x, dpv) for x in (tok, pos, sg, pg, sl, li)),
+            self._feed(temp, dpv), self._feed(topp, dpv), self._feed(topk, dpv),
+            self._feed(np.asarray(self._next_key())),
         )
-        out = np.asarray(jax.device_get(toks))
+        out = self._fetch(toks)
         return [(sid, int(out[i])) for i, sid in enumerate(seq_order)]
 
     def execute_decode(self, metadata, cache_engine):
@@ -126,10 +152,15 @@ class TPModelRunner(ModelRunner):
             tokens, ctx, tables, B, self.max_pages_per_seq
         )
         temp, topp, topk = self._sampling_arrays(sp_list, B)
+        from jax.sharding import PartitionSpec as P
+
+        dpv = P(tpmod.DP)
         toks, cache_engine.cache = self._decode_fn(
             self.params, cache_engine.cache,
-            jnp.asarray(tok), jnp.asarray(bt), jnp.asarray(cl),
-            temp, topp, topk, self._next_key(),
+            self._feed(tok, dpv), self._feed(bt, P(tpmod.DP, None)),
+            self._feed(cl, dpv),
+            self._feed(temp, dpv), self._feed(topp, dpv), self._feed(topk, dpv),
+            self._feed(np.asarray(self._next_key())),
         )
-        out = np.asarray(jax.device_get(toks))
+        out = self._fetch(toks)
         return [(sid, int(out[i])) for i, sid in enumerate(seq_order)]

@@ -136,3 +136,59 @@ class TestLifecycle:
         s.free_finished_seq_groups()
         assert not s.has_unfinished_seqs()
         assert s.block_manager.get_num_free_device_pages() == 32
+
+
+class TestSchedulerDeterminism:
+    """Replicated multi-host serving requires every host's scheduler to make
+    IDENTICAL decisions from an identical request stream (the design in
+    parallel/distributed.py; exercised end-to-end by
+    scripts/dryrun_multihost.py)."""
+
+    def _drive(self):
+        from qserve_tpu.config import CacheConfig, QuantSpec, SchedulerConfig
+        from qserve_tpu.core.scheduler import Scheduler
+        from qserve_tpu.sampling_params import SamplingParams
+        from qserve_tpu.sequence import Sequence, SequenceGroup
+
+        sc = SchedulerConfig(max_num_batched_tokens=64, max_num_seqs=4,
+                             max_model_len=128)
+        cc = CacheConfig(block_size=8, num_device_pages=20,
+                         quant=QuantSpec.from_precision("w4a8kv4"))
+        sched = Scheduler(sc, cc)
+        trace = []
+        next_id = [0]
+
+        def add(prompt_len):
+            seq = Sequence(next_id[0], None, list(range(1, prompt_len + 1)), 8)
+            next_id[0] += 1
+            sched.add_seq_group(SequenceGroup(
+                f"r{seq.seq_id}", [seq], SamplingParams(max_tokens=8)
+            ))
+
+        # interleave adds with steps; append a token to every scheduled seq
+        script = [3, None, 10, 5, None, None, 17, None, None, None, None, None]
+        for ev in script:
+            if ev is not None:
+                add(ev)
+                continue
+            metadata, out = sched.schedule()
+            snap = []
+            for md in metadata:
+                for sid in sorted(md.seq_data):
+                    snap.append((
+                        md.request_id, sid, md.is_prompt,
+                        tuple(md.block_tables[sid]),
+                        md.seq_data[sid].get_len(),
+                    ))
+            trace.append((tuple(snap), out.prompt_run,
+                          tuple(sorted(out.blocks_to_copy.items()))))
+            for md in metadata:
+                for sid, data in md.seq_data.items():
+                    data.append_token_id(99)
+        return trace
+
+    def test_identical_traces(self):
+        t1 = self._drive()
+        t2 = self._drive()
+        assert t1 == t2
+        assert any(step[0] for step in t1)  # something actually scheduled

@@ -165,6 +165,10 @@ class SchedulerConfig:
     max_num_seqs: int = 256
     max_model_len: int = 8192
     delay_factor: float = 0.0
+    # serve prompts longer than max_num_batched_tokens in page-aligned
+    # chunks (and skip computed shared prefixes); False restores the
+    # reference's behavior of rejecting them (ref scheduler.py:192-201)
+    enable_chunked_prefill: bool = True
 
 
 @dataclasses.dataclass

@@ -226,6 +226,9 @@ class BlockSpaceManager:
             for p in set(table):
                 self.device.free(p)
 
+    def has_seq(self, seq: Sequence) -> bool:
+        return seq.seq_id in self.page_tables
+
     def get_page_table(self, seq: Sequence) -> BlockTable:
         return self.page_tables[seq.seq_id]
 

@@ -42,6 +42,7 @@ class SchedulerOutputs:
         blocks_to_swap_out: Dict[int, int],
         blocks_to_copy: Dict[int, List[int]],
         ignored_seq_groups: List[SequenceGroup],
+        prompt_chunks: Optional[Dict[int, Tuple[int, int]]] = None,
     ) -> None:
         self.scheduled_seq_groups = scheduled_seq_groups
         self.prompt_run = prompt_run
@@ -50,6 +51,9 @@ class SchedulerOutputs:
         self.blocks_to_swap_out = blocks_to_swap_out
         self.blocks_to_copy = blocks_to_copy
         self.ignored_seq_groups = ignored_seq_groups
+        # seq_id -> (start, end) prompt span computed this step (chunked
+        # prefill / prefix compute-skip); absent = whole prompt
+        self.prompt_chunks = prompt_chunks or {}
 
     def is_empty(self) -> bool:
         return (
@@ -114,9 +118,17 @@ class Scheduler:
         for group in outputs.scheduled_seq_groups:
             seq_data = {}
             block_tables = {}
-            for seq in group.get_seqs(SequenceStatus.RUNNING):
+            chunk = None
+            if outputs.prompt_run:
+                # a partially-prefilled (chunked) prompt is still WAITING
+                seqs = [s for s in group.get_seqs() if not s.is_finished()]
+            else:
+                seqs = group.get_seqs(SequenceStatus.RUNNING)
+            for seq in seqs:
                 seq_data[seq.seq_id] = seq.data
                 block_tables[seq.seq_id] = list(self.block_manager.get_page_table(seq))
+                if seq.seq_id in outputs.prompt_chunks:
+                    chunk = outputs.prompt_chunks[seq.seq_id]
             metadata.append(
                 SequenceGroupMetadata(
                     request_id=group.request_id,
@@ -125,6 +137,7 @@ class Scheduler:
                     sampling_params=group.sampling_params,
                     block_tables=block_tables,
                     multi_modal_data=group.multi_modal_data,
+                    chunk=chunk,
                 )
             )
         return metadata, outputs
@@ -137,9 +150,15 @@ class Scheduler:
         ignored: List[SequenceGroup] = []
 
         # Phase 1: admit new prompts (only when nothing is swapped out,
-        # mirroring the reference's ordering guarantee).
+        # mirroring the reference's ordering guarantee). Prompts longer than
+        # the token budget prefill in page-aligned CHUNKS (the reference
+        # rejects them, ref scheduler.py:192-201); a chunked prompt runs
+        # alone in its step and stays at the head of the waiting queue until
+        # its last chunk. Computed shared prefixes are skipped by starting
+        # the span at prefix.length (compute-level prefix reuse).
         if not self.swapped:
             scheduled: List[SequenceGroup] = []
+            prompt_chunks: Dict[int, Tuple[int, int]] = {}
             num_batched_tokens = 0
             num_running_seqs = sum(
                 g.get_max_num_running_seqs() for g in self.running
@@ -148,50 +167,87 @@ class Scheduler:
                 group = self.waiting[0]
                 waiting_seqs = group.get_seqs(SequenceStatus.WAITING)
                 assert len(waiting_seqs) == 1, "prompt groups have one seq"
-                prompt_len = waiting_seqs[0].get_len()
-                if prompt_len > min(
-                    self.scheduler_config.max_model_len,
-                    self.scheduler_config.max_num_batched_tokens,
-                ):
+                seq = waiting_seqs[0]
+                prompt_len = seq.get_len()
+                chunking = getattr(
+                    self.scheduler_config, "enable_chunked_prefill", True
+                )
+                limit = (
+                    self.scheduler_config.max_model_len - 1
+                    if chunking
+                    else min(
+                        self.scheduler_config.max_model_len,
+                        self.scheduler_config.max_num_batched_tokens,
+                    )
+                )
+                if prompt_len > limit:
                     logger.warning(
                         "Prompt (%d tokens) exceeds limit; ignoring request %s",
-                        prompt_len,
-                        group.request_id,
+                        prompt_len, group.request_id,
                     )
-                    for seq in waiting_seqs:
-                        seq.status = SequenceStatus.FINISHED_IGNORED
+                    seq.status = SequenceStatus.FINISHED_IGNORED
                     ignored.append(group)
                     self.waiting.popleft()
                     continue
 
-                alloc = self.block_manager.can_allocate(group)
-                if alloc == AllocStatus.NEVER:
-                    logger.warning(
-                        "Prompt of request %s can never fit in KV cache; ignoring",
-                        group.request_id,
-                    )
-                    for seq in waiting_seqs:
+                if not self.block_manager.has_seq(seq):
+                    alloc = self.block_manager.can_allocate(group)
+                    if alloc == AllocStatus.NEVER:
+                        logger.warning(
+                            "Prompt of request %s can never fit in KV cache; "
+                            "ignoring", group.request_id,
+                        )
                         seq.status = SequenceStatus.FINISHED_IGNORED
-                    ignored.append(group)
-                    self.waiting.popleft()
-                    continue
-                if alloc == AllocStatus.LATER:
-                    break
-                if (
-                    num_batched_tokens + prompt_len
-                    > self.scheduler_config.max_num_batched_tokens
-                ):
-                    break
-                new_seqs = group.get_max_num_running_seqs()
-                if num_running_seqs + new_seqs > self.scheduler_config.max_num_seqs:
-                    break
+                        ignored.append(group)
+                        self.waiting.popleft()
+                        continue
+                    if alloc == AllocStatus.LATER:
+                        break
+                    new_seqs = group.get_max_num_running_seqs()
+                    if (
+                        num_running_seqs + new_seqs
+                        > self.scheduler_config.max_num_seqs
+                    ):
+                        break
+                    self.block_manager.allocate(group)
+                    if chunking and group.sampling_params.best_of == 1:
+                        self._apply_prefix_skip(group, seq)
+                    num_running_seqs += new_seqs
 
-                self.waiting.popleft()
-                self._allocate(group)
-                self.running.append(group)
+                start = seq.data.computed_tokens
+                remaining = prompt_len - start
+                budget = (
+                    self.scheduler_config.max_num_batched_tokens
+                    - num_batched_tokens
+                )
+                if budget <= 0:
+                    break
+                if start > 0 and scheduled:
+                    break  # prefix-continuation steps run alone (B=1 path)
+                if remaining > budget:
+                    # chunked: page-aligned partial span, alone in its step
+                    if scheduled:
+                        break
+                    bs = self.cache_config.block_size
+                    chunk = (budget // bs) * bs
+                    if chunk <= 0:
+                        break
+                    end = start + chunk
+                else:
+                    end = prompt_len
+
+                seq.data.computed_tokens = end
+                prompt_chunks[seq.seq_id] = (start, end)
+                num_batched_tokens += end - start
                 scheduled.append(group)
-                num_batched_tokens += prompt_len
-                num_running_seqs += new_seqs
+                if end == prompt_len:
+                    self.waiting.popleft()
+                    seq.status = SequenceStatus.RUNNING
+                    self.running.append(group)
+                    if start > 0:
+                        break  # ran with a cached prefix: keep the step B=1
+                else:
+                    break  # unfinished chunk stays at the queue head
 
             if scheduled or ignored:
                 return SchedulerOutputs(
@@ -202,6 +258,7 @@ class Scheduler:
                     blocks_to_swap_out=blocks_to_swap_out,
                     blocks_to_copy=blocks_to_copy,
                     ignored_seq_groups=ignored,
+                    prompt_chunks=prompt_chunks,
                 )
 
         # Phase 2: decode step for running groups; preempt if out of pages.
@@ -265,6 +322,18 @@ class Scheduler:
         for seq in group.get_seqs(SequenceStatus.WAITING):
             seq.status = SequenceStatus.RUNNING
 
+    def _apply_prefix_skip(self, group: SequenceGroup, seq: Sequence) -> None:
+        """Start prefill past a COMPUTED shared prefix (its pages are reused
+        by allocation and already hold the KV). The skip is page-aligned so
+        chunk boundaries never start mid-page (the staged full-page append
+        requires it), and at least one token is always computed."""
+        prefix = getattr(group, "prefix", None)
+        if prefix is None or not (prefix.allocated and prefix.computed):
+            return
+        bs = self.cache_config.block_size
+        skip = min(prefix.length, ((seq.get_len() - 1) // bs) * bs)
+        seq.data.computed_tokens = max(skip, 0)
+
     def _append_slots(
         self, group: SequenceGroup, blocks_to_copy: Dict[int, List[int]]
     ) -> None:
@@ -302,6 +371,7 @@ class Scheduler:
                 seq.status = SequenceStatus.WAITING
                 self.block_manager.free(seq)
                 # keep generated tokens: they re-enter as part of the prompt
+                seq.data.computed_tokens = 0  # pages freed; KV is gone
             self.waiting.appendleft(group)
         else:
             mapping = self.block_manager.swap_out(group)

@@ -190,6 +190,11 @@ class EngineArgs:
                 self.model, quant, self.scan_layers, self.quant_path
             )
 
+        if self.run_vlm or self.tensor_parallel_size > 1 or self.data_parallel_size > 1:
+            # chunked prefill's continuation step is a dense-runner path for
+            # now; VLM/TP engines keep the reference's long-prompt rejection
+            scheduler_config.enable_chunked_prefill = False
+
         if args.sliding_window is not None:
             # plumb the model's window into the allocator (cyclic page reuse)
             # and (via LlamaArgs) the attention kernels' masks

@@ -100,6 +100,13 @@ class LLMEngine:
             raise NotImplementedError(
                 "n>1 / best_of>1 not supported by this model runner"
             )
+        if (
+            sampling_params.best_of > 1
+            and len(prompt_token_ids) > self.scheduler_config.max_num_batched_tokens
+        ):
+            raise NotImplementedError(
+                "n>1 with chunked (longer than max_num_batched_tokens) prompts"
+            )
 
         if is_vlm_request:
             # expand each image tag to tokens_per_image marker slots and
@@ -161,9 +168,16 @@ class LLMEngine:
         if sched.prompt_run:
             for md in metadata:
                 for data in md.seq_data.values():
-                    self._num_prompt_tokens += data.get_len()
+                    if md.chunk is not None:
+                        self._num_prompt_tokens += md.chunk[1] - md.chunk[0]
+                    else:
+                        self._num_prompt_tokens += data.get_len()
             for group in sched.scheduled_seq_groups:
-                if group.prefix is not None:
+                if group.prefix is not None and all(
+                    s.data.computed_tokens >= group.prefix.length
+                    for s in group.get_seqs()
+                    if not s.is_finished()
+                ):
                     group.prefix.computed = True
 
         outputs: List[RequestOutput] = []
@@ -171,6 +185,11 @@ class LLMEngine:
         extra = getattr(self.worker.model_runner, "last_extra_samples", {})
         for seq_id, token in results:
             group, seq = self._seq_index[seq_id]
+            if seq.status == SequenceStatus.WAITING:
+                # non-final prefill chunk: its sampled token is meaningless
+                # (the prompt continues); nothing to append yet
+                touched_groups.append(group)
+                continue
             seqs = [(seq, token)]
             if sched.prompt_run and group.sampling_params.best_of > 1:
                 # fork the prompt into best_of candidates sharing its pages

@@ -68,6 +68,72 @@ def prefill_attention(
     return out.astype(q.dtype)
 
 
+def prefix_prefill_attention(
+    q: jax.Array,  # [T, Hq, D] chunk queries (RoPE'd, positions >= start)
+    k: jax.Array,  # [T, Hkv, D] chunk keys
+    v: jax.Array,  # [T, Hkv, D]
+    segment_ids: jax.Array,  # [T] int32, 0 = padding (one live segment)
+    positions: jax.Array,  # [T] int32 absolute positions in the sequence
+    cache: kvc.KVCache,
+    block_tables: jax.Array,  # [1, maxP] int32 — the sequence's pages
+    prefix_len: jax.Array,  # [] int32 cached positions [0, prefix_len)
+    layer_idx,
+    kv_bits: int,
+    sm_scale: Optional[float] = None,
+    sliding_window: Optional[int] = None,
+) -> jax.Array:
+    """Chunked-prefill attention: the chunk attends its own tokens causally
+    PLUS the sequence's already-cached prefix pages (chunked prefill and
+    prefix compute-skip; the reference rejects both cases,
+    ref core/scheduler.py:192-201 / prefix.py). One sequence per step by
+    scheduler construction.
+
+    XLA implementation (materializes [Hq, T, S+T] scores — fine for chunk
+    sizes up to a few K; a Pallas fusion can replace it under the same op
+    name "prefix_prefill_attention").
+    """
+    fn = _impl("prefix_prefill_attention")
+    if fn is not None:
+        out = fn(q, k, v, segment_ids, positions, cache, block_tables,
+                 prefix_len, layer_idx, kv_bits, sm_scale, sliding_window)
+        if out is not None:
+            return out
+
+    T, Hq, D = q.shape
+    Hkv = k.shape[1]
+    rep = Hq // Hkv
+    sm = sm_scale if sm_scale is not None else 1.0 / (D**0.5)
+    layer = cache.layer(layer_idx)
+    kp, vp = kvc.gather_dequant_layer(layer, block_tables, kv_bits)  # [1,S,H,D]
+    S = kp.shape[1]
+
+    k_all = jnp.concatenate([kp[0], k.astype(jnp.float32)], axis=0)  # [S+T,H,D]
+    v_all = jnp.concatenate([vp[0], v.astype(jnp.float32)], axis=0)
+    k_all = jnp.repeat(k_all, rep, axis=1)  # [S+T, Hq, D]
+    v_all = jnp.repeat(v_all, rep, axis=1)
+
+    scores = jnp.einsum(
+        "thd,shd->hts", q.astype(jnp.float32), k_all
+    ) * sm  # [Hq, T, S+T]
+    key_pos = jnp.concatenate(
+        [jnp.arange(S, dtype=jnp.int32), positions]
+    )  # [S+T] absolute position of each key
+    key_valid = jnp.concatenate(
+        [jnp.arange(S, dtype=jnp.int32) < prefix_len, segment_ids > 0]
+    )
+    mask = (
+        key_valid[None, :]
+        & (segment_ids > 0)[:, None]
+        & (key_pos[None, :] <= positions[:, None])
+    )
+    if sliding_window is not None:
+        mask = mask & (key_pos[None, :] > positions[:, None] - sliding_window)
+    scores = jnp.where(mask[None], scores, NEG_INF)
+    p = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("hts,shd->thd", p, v_all)
+    return out.astype(q.dtype)
+
+
 def paged_decode_attention(
     q: jax.Array,  # [B, Hq, D] (RoPE applied, current step)
     cache: kvc.KVCache,  # FULL stacked cache (appends deferred, see below)

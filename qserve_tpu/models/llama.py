@@ -502,6 +502,44 @@ def prefill_from_hidden(
     return logits, kv
 
 
+def prefill_chunk(
+    params: LlamaParams,
+    kv: kvc.KVCache,
+    token_ids: jax.Array,  # [T] int32, ONE prompt's chunk (0-padded tail)
+    positions: jax.Array,  # [T] int32 absolute positions (>= start)
+    segment_ids: jax.Array,  # [T] int32, 0 = padding
+    page_ids: jax.Array,  # [T] int32 destination page (-1 = drop)
+    slots: jax.Array,  # [T] int32
+    last_token_idx: jax.Array,  # [1] int32
+    block_tables: jax.Array,  # [1, maxP] int32 — for the cached prefix
+    prefix_len: jax.Array,  # [] int32: positions [0, prefix_len) are cached
+    args: LlamaArgs,
+) -> Tuple[jax.Array, kvc.KVCache]:
+    """Prefill one chunk of a prompt whose prefix KV is already cached
+    (chunked prefill / prefix compute-skip). Chunk starts are page-aligned
+    (scheduler invariant), so appends still use staged full-page writes."""
+    h = params.embed[token_ids].astype(jnp.bfloat16)
+    cos, sin = rope.rope_cos_sin(positions, args.head_dim, args.rope_theta)
+
+    def attend(q, k, v, li):
+        return attention.prefix_prefill_attention(
+            q, k, v, segment_ids, positions, kv, block_tables, prefix_len,
+            li, args.quant.kv_bits, sliding_window=args.sliding_window,
+        )
+
+    h, (k_all, v_all) = _run_layers(params, h, cos, sin, args, attend)
+    T = h.shape[0]
+    kv = kvc.append_all_layers(
+        kv, k_all, v_all, page_ids, slots,
+        args.quant.kv_bits, args.quant.kv_zero_point,
+        max_stages=T // kv.page_size + 2,
+    )
+    h_last = h[last_token_idx]  # [1, E]
+    h_last = ops.rmsnorm(h_last, params.final_ln, args.rms_eps)
+    logits = _lm_head(h_last, params, args)
+    return logits, kv
+
+
 def decode(
     params: LlamaParams,
     kv: kvc.KVCache,

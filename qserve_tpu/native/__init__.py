@@ -72,7 +72,7 @@ def get_lib():
         ]
         lib.qs_pack_decode.restype = None
         lib.qs_pack_prefill.argtypes = [
-            ctypes.c_int32, _I32P, _I32P, _I32P, _I32P,
+            ctypes.c_int32, _I32P, _I32P, _I32P, _I32P, _I32P,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             _I32P, _I32P, _I32P, _I32P, _I32P, _I32P, _I32P,
         ]
@@ -130,19 +130,26 @@ def pack_prefill(
     T_pad: int,
     B_pad: int,
     image_token: Optional[int] = None,
+    starts: Optional[Sequence[int]] = None,
 ) -> Tuple[np.ndarray, ...]:
     """-> (tokens, positions, segids, pages, slots, img_idx [T_pad],
-           last_idx [B_pad], total_tokens)."""
+           last_idx [B_pad], total_tokens).
+
+    starts: absolute start position per prompt (chunked prefill — `prompts`
+    then holds only the chunk's tokens); None = all prompts start at 0."""
     n = len(prompts)
     lib = get_lib()
     outs = [np.empty(T_pad, np.int32) for _ in range(6)]
     last_idx = np.empty(B_pad, np.int32)
     itok = np.int32(image_token) if image_token is not None else np.int32(-(2**31))
+    st = np.ascontiguousarray(
+        starts if starts is not None else np.zeros(n, np.int32), dtype=np.int32
+    )
     if lib is not None:
         pflat, poffs = _flatten(prompts)
         tflat, toffs = _flatten(tables)
         total = lib.qs_pack_prefill(
-            n, pflat, poffs, tflat, toffs, block_size, itok, T_pad, B_pad,
+            n, pflat, poffs, tflat, toffs, st, block_size, itok, T_pad, B_pad,
             *outs, last_idx,
         )
         if total < 0:
@@ -154,7 +161,8 @@ def pack_prefill(
         return (*outs, last_idx, int(total))
     total = sum(len(p) for p in prompts)
     if n > B_pad or total > T_pad or any(
-        p and (len(p) - 1) // block_size >= len(t) for p, t in zip(prompts, tables)
+        p and (int(st[i]) + len(p) - 1) // block_size >= len(tables[i])
+        for i, p in enumerate(prompts)
     ):
         raise ValueError(
             f"pack_prefill overflow: {n} prompts ({total} tokens) do not fit "
@@ -172,12 +180,13 @@ def pack_prefill(
     n_img = 0
     for i, prompt in enumerate(prompts):
         table = tables[i]
+        s0 = int(st[i])
         for p, tok in enumerate(prompt):
             tokens[t] = tok
-            positions[t] = p
+            positions[t] = s0 + p
             segids[t] = i + 1
-            pages[t] = table[p // block_size]
-            slots[t] = p % block_size
+            pages[t] = table[(s0 + p) // block_size]
+            slots[t] = (s0 + p) % block_size
             if tok == itok:
                 img_idx[t] = n_img
                 n_img += 1

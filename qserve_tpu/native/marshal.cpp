@@ -54,10 +54,11 @@ void qs_pack_decode(
 // must surface as a Python exception, not silent heap corruption.
 int32_t qs_pack_prefill(
     int32_t n,
-    const int32_t* prompts_flat,
+    const int32_t* prompts_flat,   // chunk tokens (already sliced)
     const int32_t* prompt_offsets, // [n+1]
     const int32_t* tables_flat,
     const int32_t* table_offsets,  // [n+1]
+    const int32_t* starts,         // [n] absolute start position per prompt
     int32_t block_size,
     int32_t image_token,
     int32_t T_pad,
@@ -86,14 +87,15 @@ int32_t qs_pack_prefill(
         const int32_t plen = prompt_offsets[i + 1] - prompt_offsets[i];
         const int32_t* table = tables_flat + table_offsets[i];
         const int32_t tlen = table_offsets[i + 1] - table_offsets[i];
+        const int32_t s0 = starts ? starts[i] : 0;
         if (t + plen > T_pad) return -1;
-        if (plen > 0 && (plen - 1) / block_size >= tlen) return -1;
+        if (plen > 0 && (s0 + plen - 1) / block_size >= tlen) return -1;
         for (int32_t p = 0; p < plen; ++p, ++t) {
             out_tokens[t] = prompt[p];
-            out_positions[t] = p;
+            out_positions[t] = s0 + p;
             out_segids[t] = i + 1;
-            out_pages[t] = table[p / block_size];
-            out_slots[t] = p % block_size;
+            out_pages[t] = table[(s0 + p) / block_size];
+            out_slots[t] = (s0 + p) % block_size;
             if (prompt[p] == image_token) {
                 out_img_idx[t] = n_img_tok++;
             }

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import enum
 import time
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Tuple
 
 from qserve_tpu.sampling_params import SamplingParams
 
@@ -49,6 +49,9 @@ class SequenceData:
         self.prompt_token_ids = list(prompt_token_ids)
         self.output_token_ids: List[int] = []
         self.cumulative_logprob = 0.0
+        # prompt tokens whose KV is already computed (chunked prefill
+        # progress; also pre-advanced over computed shared prefixes)
+        self.computed_tokens = 0
 
     def append_token_id(self, token_id: int, logprob: float = 0.0) -> None:
         self.output_token_ids.append(token_id)
@@ -220,6 +223,7 @@ class SequenceGroupMetadata:
         sampling_params: SamplingParams,
         block_tables: Dict[int, List[int]],
         multi_modal_data: Optional[dict] = None,
+        chunk: Optional[Tuple[int, int]] = None,
     ) -> None:
         self.request_id = request_id
         self.is_prompt = is_prompt
@@ -227,6 +231,10 @@ class SequenceGroupMetadata:
         self.sampling_params = sampling_params
         self.block_tables = block_tables
         self.multi_modal_data = multi_modal_data or {}
+        # chunked prefill: (start, end) token span of the prompt to compute
+        # this step; KV for [0, start) is already in the cache. None = the
+        # whole prompt (the common, non-chunked case).
+        self.chunk = chunk
 
 
 class SequenceOutput:

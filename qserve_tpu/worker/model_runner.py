@@ -59,6 +59,21 @@ def _prefill_step_logits(
 @functools.partial(
     jax.jit, static_argnames=("args",), donate_argnames=("kv",)
 )
+def _prefill_chunk_step(
+    params, kv, tok, pos, seg, pages, slots, last_idx, bt, prefix_len,
+    temp, topp, topk, key, *, args
+):
+    logits, kv = llama.prefill_chunk(
+        params, kv, tok, pos, seg, pages, slots, last_idx, bt, prefix_len,
+        args,
+    )
+    toks = sampler_mod.sample(logits, temp, topp, topk, key)
+    return toks, kv
+
+
+@functools.partial(
+    jax.jit, static_argnames=("args",), donate_argnames=("kv",)
+)
 def _decode_step(
     params, kv, tok, block_tables, context_lens, temp, topp, topk, key, *, args
 ):
@@ -168,6 +183,12 @@ class ModelRunner:
         """Returns [(seq_id, sampled_token)] in schedule order."""
         from qserve_tpu import native
 
+        if any(md.chunk is not None and md.chunk[0] > 0 for md in metadata):
+            # prefix-continuation step (chunked prefill / prefix skip):
+            # the scheduler emits these alone (one sequence)
+            assert len(metadata) == 1
+            return self._execute_prefill_chunk(metadata[0], cache_engine)
+
         prompts: List[List[int]] = []
         tables: List[List[int]] = []
         seq_order: List[int] = []
@@ -176,6 +197,8 @@ class ModelRunner:
         for md in metadata:
             for seq_id, data in md.seq_data.items():
                 ids = data.get_token_ids()
+                if md.chunk is not None:  # first chunk of a long prompt
+                    ids = ids[md.chunk[0] : md.chunk[1]]
                 prompts.append(ids)
                 tables.append(md.block_tables[seq_id])
                 total += len(ids)
@@ -214,6 +237,39 @@ class ModelRunner:
             )
         out = np.asarray(jax.device_get(toks))
         return [(sid, int(out[i])) for i, sid in enumerate(seq_order)]
+
+    # ------------------------------------------------------------------
+    def _execute_prefill_chunk(
+        self, md: SequenceGroupMetadata, cache_engine
+    ) -> List[Tuple[int, int]]:
+        """One chunk of one prompt whose prefix KV is already cached."""
+        from qserve_tpu import native
+
+        (seq_id, data), = md.seq_data.items()
+        start, end = md.chunk
+        ids = data.get_token_ids()[start:end]
+        table = md.block_tables[seq_id]
+
+        T = bucket(len(ids), 16, self.max_num_batched_tokens * 2)
+        tok, pos, sg, pg, sl, _, li, _ = native.pack_prefill(
+            [ids], [table], self.block_size, T, 1, starts=[start]
+        )
+        bt = np.zeros((1, self.max_pages_per_seq), np.int32)
+        bt[0, : len(table)] = table
+        temp, topp, topk = self._sampling_arrays([md.sampling_params], 1)
+
+        self.last_extra_samples = {}
+        toks, cache_engine.cache = _prefill_chunk_step(
+            self.params,
+            cache_engine.cache,
+            *map(jnp.asarray, (tok, pos, sg, pg, sl, li)),
+            jnp.asarray(bt), jnp.int32(start),
+            temp, topp, topk,
+            self._next_key(),
+            args=self.model_args,
+        )
+        out = np.asarray(jax.device_get(toks))
+        return [(seq_id, int(out[0]))]
 
     # ------------------------------------------------------------------
     def execute_decode(

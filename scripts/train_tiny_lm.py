@@ -163,8 +163,9 @@ def main():
     data_dev = jax.device_put(jnp.asarray(data, jnp.int32))
 
     params = init_params(jax.random.PRNGKey(0), cfg)
+    warmup = min(100, args.steps // 4)
     sched = optax.warmup_cosine_decay_schedule(
-        0.0, args.lr, 100, args.steps, args.lr * 0.1
+        0.0, args.lr, warmup, args.steps, args.lr * 0.1
     )
     opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(sched, weight_decay=0.01))
     opt_state = opt.init(params)

@@ -349,3 +349,84 @@ class TestSlidingWindowEngine:
         assert table[2] == table[0] and table[3] == table[1]
         bm.free(seq)
         assert bm.get_num_free_device_pages() == 8
+
+
+class TestChunkedPrefill:
+    def test_long_prompt_chunked_matches_unchunked(self):
+        """A prompt longer than max_num_batched_tokens prefills in chunks;
+        greedy continuation must be IDENTICAL to an engine with a big enough
+        budget (the prefix-aware chunk attention must be exact)."""
+        prompt = [(7 * i + 3) % 128 for i in range(150)]
+
+        big = build_engine(pages=64, max_tokens=512, max_len=256)
+        big.add_request(
+            "r", prompt_token_ids=prompt,
+            sampling_params=SamplingParams(max_tokens=8, temperature=0.0),
+        )
+        ref, _ = run_to_completion(big)
+
+        small = build_engine(pages=64, max_tokens=64, max_len=256)
+        small.add_request(
+            "r", prompt_token_ids=prompt,
+            sampling_params=SamplingParams(max_tokens=8, temperature=0.0),
+        )
+        got, steps = run_to_completion(small)
+        assert got["r"].outputs[0]["token_ids"] == ref["r"].outputs[0]["token_ids"]
+        assert small.scheduler.block_manager.get_num_free_device_pages() == 64
+
+    def test_chunked_prompt_batches_with_short_ones(self):
+        """Chunked steps run alone, but short prompts before/after still work."""
+        engine = build_engine(pages=64, max_tokens=64, max_len=256)
+        engine.add_request(
+            "short1", prompt_token_ids=[1, 2, 3],
+            sampling_params=SamplingParams(max_tokens=4, temperature=0.0),
+        )
+        engine.add_request(
+            "long", prompt_token_ids=[(i * 5 + 1) % 128 for i in range(100)],
+            sampling_params=SamplingParams(max_tokens=4, temperature=0.0),
+        )
+        engine.add_request(
+            "short2", prompt_token_ids=[9, 8, 7],
+            sampling_params=SamplingParams(max_tokens=4, temperature=0.0),
+        )
+        outputs, _ = run_to_completion(engine, max_steps=60)
+        assert len(outputs) == 3
+        for r in ("short1", "long", "short2"):
+            assert len(outputs[r].outputs[0]["token_ids"]) == 4
+
+    def test_prefix_compute_skip(self):
+        """Second request sharing a computed prefix: identical output AND
+        measurably fewer prompt tokens computed."""
+        prefix = [(3 * i + 5) % 128 for i in range(64)]  # 4 pages of 16
+        p1 = prefix + [1, 2, 3]
+        p2 = prefix + [4, 5, 6]
+
+        # baseline: no prefix sharing
+        base = build_engine(pages=64, max_tokens=256, max_len=256)
+        base.add_request(
+            "b", prompt_token_ids=p2,
+            sampling_params=SamplingParams(max_tokens=6, temperature=0.0),
+        )
+        ref, _ = run_to_completion(base)
+
+        eng = build_engine(pages=64, max_tokens=256, max_len=256)
+        eng.add_request(
+            "r1", prompt_token_ids=p1,
+            sampling_params=SamplingParams(max_tokens=6, temperature=0.0),
+            prefix_pos=64,
+        )
+        run_to_completion(eng)
+        tokens_before = eng._num_prompt_tokens
+        eng.add_request(
+            "r2", prompt_token_ids=p2,
+            sampling_params=SamplingParams(max_tokens=6, temperature=0.0),
+            prefix_pos=64,
+        )
+        outputs, _ = run_to_completion(eng)
+        skipped_cost = eng._num_prompt_tokens - tokens_before
+        assert outputs["r2"].outputs[0]["token_ids"] == ref["b"].outputs[0]["token_ids"]
+        # only the 3-token suffix (bucketed span) was computed, not 67 tokens
+        assert skipped_cost <= 16, skipped_cost
+        # the prefix POOL retains its 4 shared pages (by design); everything
+        # else is released
+        assert eng.scheduler.block_manager.get_num_free_device_pages() == 60

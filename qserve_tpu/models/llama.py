@@ -630,7 +630,10 @@ def teacher_forced_nll(
             x.astype(jnp.float32), bits=args.quant.kv_bits,
             asymmetric=args.quant.kv_zero_point,
         )
-        return (q.astype(jnp.float32) * scale + zero).astype(x.dtype)
+        # q carries unsigned lattice values in a two's-complement byte;
+        # dequantize_kv applies the & 0xFF view (plain astype would
+        # sign-extend UINT8 values > 127)
+        return qoq.dequantize_kv(q, scale, zero).astype(x.dtype)
 
     def attend(q, k, v, _li):
         if simulate_kv_quant:

@@ -46,6 +46,17 @@ def model_args(name: str, precision: str):
             num_layers=40, num_heads=40, num_kv_heads=40, head_dim=128,
             quant=quant,
         )
+    if name == "mixtral":  # Mixtral-8x7B per-layer geometry
+        # full 32-layer packed W4 weights are ~22GB; QSERVE_BENCH_LAYERS
+        # truncates depth to fit one chip (decode is expert-weight-streaming
+        # bound, so tok/s scales ~1/layers — report raw + note)
+        L = int(os.environ.get("QSERVE_BENCH_LAYERS", "12"))
+        return llama.LlamaArgs(
+            vocab_size=32000, hidden_size=4096, intermediate_size=14336,
+            num_layers=L, num_heads=32, num_kv_heads=8, head_dim=128,
+            rope_theta=1e6, quant=quant, scan_layers=scan,
+            num_experts=8, moe_top_k=2,
+        )
     if name == "1b":  # TinyLlama-1.1B geometry
         return llama.LlamaArgs(
             vocab_size=32000, hidden_size=2048, intermediate_size=5632,
@@ -96,7 +107,12 @@ def _run(B):
     num_pages = B * max_pages_per_seq + 8
 
     t0 = time.time()
-    params = llama.random_quantized_params(jax.random.PRNGKey(0), args)
+    if args.num_experts > 0:
+        from qserve_tpu.models import mixtral
+
+        params = mixtral.random_quantized_params(jax.random.PRNGKey(0), args)
+    else:
+        params = llama.random_quantized_params(jax.random.PRNGKey(0), args)
     kv = kvc.create_kv_cache(
         args.num_layers, num_pages, args.num_kv_heads, PAGE, args.head_dim,
         args.quant.kv_bits,

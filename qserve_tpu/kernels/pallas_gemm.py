@@ -66,10 +66,12 @@ def _pick_bn(N: int) -> int:
 
 
 def _pick_bm(M: int, K: int) -> int:
-    # keep the resident A block [bm, K] int8 under ~2MB (the full VMEM
-    # budget per kernel is 16MB: A + 2x weight blocks + nibble planes +
-    # int32 acc + out tile must all fit at prefill sizes)
-    cap = max(32, (2 << 20) // max(K, 1))
+    # keep the resident A block [bm, K] int8 under ~6MB. Larger M blocks cut
+    # the weight-refetch factor ceil(M/bm) at prefill shapes (down_proj at
+    # K=14336 was refetching its weights 16x per step under the old 2MB cap);
+    # the kernels request a 64MB scoped-VMEM limit (v5e has 128MB/core), so
+    # A(x2 buffers) + weight blocks + int32 acc still fit.
+    cap = max(32, (6 << 20) // max(K, 1))
     return M if M <= cap else _largest_divisor(M, cap, 1)
 
 
@@ -169,6 +171,10 @@ def _maybe_stacked_call(kernel, grid, in_specs, out_spec, out_shape, scratch,
         interpret=interpret_mode(),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # v5e has 128MB VMEM/core; the 16MB default scoped limit rejects
+            # prefill-shape kernels once XLA promotes their output tensor
+            # into scoped space
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         cost_estimate=cost,
     )(*args)
@@ -232,8 +238,127 @@ def w4a8_gemm_per_chn_pallas(
     )
 
 
+def _w4a8_chn_bigm_kernel(a_ref, w_ref, s1_ref, sz_ref, as_ref, asum_ref,
+                          out_ref, acc_ref, *, nk: int, lead: int):
+    """Prefill-shape variant: A streams in (bm, 2, bk2) half-split blocks so
+    the weight block (k, n) is fetched ONCE for the whole M range — the
+    A-resident layout refetches all weights per M block, a ~(M/bm)x HBM tax
+    exactly where M is large."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    lo, hi = unpack_w4_nibbles(_blk(w_ref, lead), interpret_mode())
+    acc_ref[:] += jax.lax.dot_general(
+        a_ref[:, 0], lo, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ) + jax.lax.dot_general(
+        a_ref[:, 1], hi, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+    @pl.when(k == nk - 1)
+    def _():
+        psum = acc_ref[:].astype(jnp.float32)
+        out = psum * _blk(s1_ref, lead) * as_ref[:] - _blk(sz_ref, lead) * asum_ref[:]
+        out_ref[:] = out.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype",))
+def w4a8_gemm_per_chn_bigm_pallas(
+    a_i8, a_scale, a_sum, qweight_packed, s1_scale, s1_szero,
+    out_dtype=jnp.bfloat16, idx=None,
+):
+    M, K = a_i8.shape
+    N = qweight_packed.shape[-1]
+    lead = qweight_packed.ndim - 2
+    K2 = K // 2
+    # half-split-major activations: a2[:, 0] pairs with the low-nibble rows,
+    # a2[:, 1] with the high-nibble rows (one cheap XLA relayout of A)
+    a2 = jnp.stack([a_i8[:, :K2], a_i8[:, K2:]], axis=1)  # [M, 2, K2]
+    # large M blocks cut the weight-refetch factor to ceil(M/bm); the caps
+    # keep the kernel's scoped-VMEM footprint (Mosaic multi-buffers the
+    # streamed blocks) under the 16MB budget
+    import os as _os
+
+    bm_cap = int(_os.environ.get("QSERVE_BIGM_BM", "1024"))
+    bn_cap = int(_os.environ.get("QSERVE_BIGM_BN", "1024"))
+    bk_cap = int(_os.environ.get("QSERVE_BIGM_BK2", "256"))
+    bm = M if M <= bm_cap else _largest_divisor(M, bm_cap, 1)
+    bn = _largest_divisor(N, bn_cap, 128 if N % 128 == 0 else 1)
+    bk2 = _largest_divisor(K2, bk_cap, 128 if K2 % 128 == 0 else 1)
+    nk = K2 // bk2
+    grid = (pl.cdiv(M, bm), N // bn, nk)
+    lead1 = (1,) * lead
+    ix, ix_plain = _ix_maps(idx, lead)
+
+    in_specs = [
+        pl.BlockSpec((bm, 2, bk2), ix_plain(lambda m, n, k: (m, 0, k)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(lead1 + (bk2, bn), ix(lambda m, n, k: (k, n)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(lead1 + (1, bn), ix(lambda m, n, k: (0, n)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(lead1 + (1, bn), ix(lambda m, n, k: (0, n)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bm, 1), ix_plain(lambda m, n, k: (m, 0)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bm, 1), ix_plain(lambda m, n, k: (m, 0)),
+                     memory_space=pltpu.VMEM),
+    ]
+    s1 = s1_scale.reshape(*s1_scale.shape[:lead], 1, N)
+    sz = s1_szero.reshape(*s1_szero.shape[:lead], 1, N)
+    return _maybe_stacked_call(
+        functools.partial(_w4a8_chn_bigm_kernel, nk=nk, lead=lead),
+        grid, in_specs,
+        pl.BlockSpec((bm, bn), ix_plain(lambda m, n, k: (m, n)),
+                     memory_space=pltpu.VMEM),
+        jax.ShapeDtypeStruct((M, N), out_dtype),
+        [pltpu.VMEM((bm, bn), jnp.int32)],
+        pl.CostEstimate(
+            flops=2 * M * N * K,
+            bytes_accessed=M * K + K * N // 2 + M * N * 2,
+            transcendentals=0,
+        ),
+        (a2, qweight_packed, s1, sz,
+         a_scale.reshape(M, 1), a_sum.reshape(M, 1)),
+        idx,
+    )
+
+
+def _bigm_wins(M: int, K: int, N: int) -> bool:
+    """HBM-traffic model: A-resident refetches W ceil(M/bm_old) times; the
+    streamed-A path refetches A ceil(N/1024) times but W only ceil(M/1024)
+    times. The streamed path wins for big-K matrices (e.g. down_proj at
+    prefill, where the A-resident bm collapses to ~128 rows)."""
+    import os as _os
+
+    # Disabled by default: the streamed-A layout's small strided A segments
+    # measured SLOWER than the A-resident path even where the byte model
+    # favors it (chained prefill harness: 301ms vs 172ms). Kept as an
+    # experimental path (QSERVE_TPU_BIGM=1) and for its parity tests; the
+    # production fix is the larger A-resident bm cap in _pick_bm.
+    if _os.environ.get("QSERVE_TPU_BIGM", "0") != "1":
+        return False
+    bm_old = _pick_bm(M, K)
+    if bm_old >= M or M % 128 != 0:
+        return False
+    W = K * N // 2
+    A = M * K
+    old = W * -(-M // bm_old) + A
+    new = W * -(-M // 1024) + A * -(-N // 1024)
+    return new < old
+
+
 @register_pallas("w4a8_gemm_per_chn")
 def _w4a8_chn_dispatch(a_i8, a_scale, a_sum, qw, s1, sz, out_dtype, idx=None):
+    M, K = a_i8.shape
+    if _bigm_wins(M, K, qw.shape[-1]):
+        return w4a8_gemm_per_chn_bigm_pallas(
+            a_i8, a_scale, a_sum, qw, s1, sz, out_dtype, idx
+        )
     return w4a8_gemm_per_chn_pallas(
         a_i8, a_scale, a_sum, qw, s1, sz, out_dtype, idx
     )

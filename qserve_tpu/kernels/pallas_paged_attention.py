@@ -289,8 +289,17 @@ def _paged_attn_kernel(
     l_out[0] = l_ref[:]
 
 
-def supports(page_size: int, head_dim: int) -> bool:
-    return page_size % 128 == 0 and head_dim % 128 == 0
+def supports(page_size: int, head_dim: int, hdc: int = 0) -> bool:
+    """Pages must be lane-aligned; the packed plane's lane dim H*Dc must be
+    lane-aligned too. head_dim 64 works when there are >= 4 kv heads (KV4):
+    the block-diagonal layout packs 2+ heads per 128-lane block and the
+    diagonal extraction uses static sub-128 lane slices (Mosaic legalizes
+    static offsets; verified by the on-TPU D=64 parity test)."""
+    if page_size % 128 != 0:
+        return False
+    if head_dim % 128 == 0:
+        return True
+    return head_dim % 64 == 0 and hdc % 128 == 0
 
 
 @functools.partial(jax.jit, static_argnames=("kv4", "sm_scale", "window"))
@@ -442,7 +451,7 @@ def _paged_attn_dispatch(q, cache, block_tables, context_lens, layer_idx,
     ps = cache.page_size
     if os.environ.get("QSERVE_TPU_EXACT_ATTN", "0") == "1":
         return None  # full-float XLA fallback (accuracy studies)
-    if not supports(ps, D):
+    if not supports(ps, D, cache.data.shape[-1]):
         return None  # dispatcher falls back to XLA
     sm = sm_scale if sm_scale is not None else 1.0 / (D ** 0.5)
     return paged_decode_attention_pallas(

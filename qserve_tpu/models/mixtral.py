@@ -77,6 +77,50 @@ def random_float_params(key: jax.Array, args: llama.LlamaArgs, scale=0.02):
     )
 
 
+def random_quantized_params(
+    key: jax.Array, args: llama.LlamaArgs, scale: float = 0.02
+) -> llama.LlamaParams:
+    """Random MoE weights quantized expert-by-expert (streaming — never
+    holds the float model; Mixtral-class geometries only fit a 16GB chip in
+    packed W4 form)."""
+    E, I, V = args.hidden_size, args.intermediate_size, args.vocab_size
+    NE = args.num_experts
+    wb, gs = args.quant.weight_bits, args.quant.group_size
+
+    def ql(k, shape):
+        w = jax.random.normal(k, shape, dtype=jnp.float32) * scale
+        out = lin.quantize_linear_from_float(w, wb, gs)
+        return jax.tree.map(lambda x: jax.block_until_ready(x), out)
+
+    keys = jax.random.split(key, args.num_layers + 2)
+    layers = []
+    for li in range(args.num_layers):
+        ks = jax.random.split(keys[li], 4 + 2 * NE)
+        layers.append(llama.MoELayerParams(
+            input_ln=jnp.ones((E,), jnp.float32),
+            qkv=ql(ks[0], (E, args.qkv_out)),
+            o=ql(ks[1], (args.q_size, E)),
+            post_ln=jnp.ones((E,), jnp.float32),
+            router=jax.random.normal(ks[2], (E, NE), jnp.float32) * scale,
+            gate_up=_stack_linear(
+                [ql(ks[4 + 2 * e], (E, 2 * I)) for e in range(NE)]
+            ),
+            down=_stack_linear(
+                [ql(ks[5 + 2 * e], (I, E)) for e in range(NE)]
+            ),
+        ))
+    if args.scan_layers:
+        layers = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+    else:
+        layers = tuple(layers)
+    return llama.LlamaParams(
+        embed=jax.random.normal(keys[-2], (V, E), jnp.bfloat16) * scale,
+        layers=layers,
+        final_ln=jnp.ones((E,), jnp.float32),
+        lm_head=jax.random.normal(keys[-1], (E, V), jnp.bfloat16) * scale,
+    )
+
+
 def quantize_params(float_params: dict, args: llama.LlamaArgs) -> llama.LlamaParams:
     wb, gs = args.quant.weight_bits, args.quant.group_size
 

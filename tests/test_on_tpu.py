@@ -61,3 +61,191 @@ def test_kv_append_inplace_compiled_bit_exact():
         jnp.swapaxes(sc, 0, 1), mode="drop")
     np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-6)
+
+
+def test_w4a8_grp_gemm_compiled_matches_ref():
+    from qserve_tpu.kernels.pallas_gemm import w4a8_gemm_per_group_pallas
+
+    kx, kw = jax.random.split(jax.random.PRNGKey(1))
+    x = jax.random.normal(kx, (32, 2048), jnp.float32)
+    w = jax.random.normal(kw, (2048, 512), jnp.float32) * 0.05
+    p = qoq.quantize_weight_per_group(w, 128)
+    packed = packing.pack_w4(p.qweight)
+    a, ascale, _ = qoq.quantize_activation_per_token(x)
+    out = w4a8_gemm_per_group_pallas(
+        a, ascale, packed, p.s2_scale, p.s2_zero, p.s1_scale, 128
+    )
+    ref = qoq.w4a8_gemm_per_group_ref(a, ascale, p, 128)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32), rtol=2e-2,
+                               atol=2e-2)
+
+
+def test_w4a8_chn_gemm_stacked_indexed_compiled():
+    """Layer-indexed stacked weights via scalar prefetch (the serving path)."""
+    L = 3
+    kx = jax.random.PRNGKey(2)
+    x = jax.random.normal(kx, (16, 1024), jnp.float32)
+    a, ascale, asum = qoq.quantize_activation_per_token(x, with_sum=True)
+    packs, s1s, szs, refs = [], [], [], []
+    for li in range(L):
+        w = jax.random.normal(jax.random.fold_in(kx, li), (1024, 512)) * 0.05
+        p = qoq.quantize_weight_per_channel(w)
+        packs.append(packing.pack_w4(p.qweight))
+        s1s.append(p.s1_scale)
+        szs.append(p.s1_szero)
+        refs.append(qoq.w4a8_gemm_per_channel_ref(a, ascale, asum, p))
+    qw, s1, sz = jnp.stack(packs), jnp.stack(s1s), jnp.stack(szs)
+    for li in (0, 2):
+        out = w4a8_gemm_per_chn_pallas(
+            a, ascale, asum, qw, s1, sz, jnp.bfloat16,
+            idx=jnp.asarray([li], jnp.int32),
+        )
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(refs[li], np.float32),
+            rtol=2e-2, atol=2e-2,
+        )
+
+
+def _attention_case(H, G, D, ps, ctx_lens):
+    from qserve_tpu.kernels import attention
+    from qserve_tpu.kernels import pallas_paged_attention as ppa
+    from qserve_tpu.kernels.ops import use_pallas
+
+    L, B = 1, len(ctx_lens)
+    Hq = H * G
+    key = jax.random.PRNGKey(3)
+    maxP = max(-(-max(c - 1, 1) // ps) for c in ctx_lens)
+    cache = kvc.create_kv_cache(L, B * maxP + 1, H, ps, D, 4)
+    bt = np.zeros((B, maxP), np.int32)
+    nxt = 0
+    for b, c in enumerate(ctx_lens):
+        hist = c - 1
+        npg = max(-(-hist // ps), 1)
+        bt[b, :npg] = range(nxt, nxt + npg)
+        nxt += npg
+        if hist == 0:
+            continue
+        k = jax.random.normal(jax.random.fold_in(key, b), (L, hist, H, D))
+        v = jax.random.normal(jax.random.fold_in(key, 50 + b), (L, hist, H, D))
+        pages = jnp.asarray([bt[b, i // ps] for i in range(hist)], jnp.int32)
+        slots = jnp.asarray([i % ps for i in range(hist)], jnp.int32)
+        cache = kvc.append_all_layers(cache, k, v, pages, slots, 4, True)
+    bt = jnp.asarray(bt)
+    ctx = jnp.asarray(ctx_lens, jnp.int32)
+    q = jax.random.normal(jax.random.fold_in(key, 7), (B, Hq, D), jnp.float32)
+    kc = jax.random.normal(jax.random.fold_in(key, 8), (B, H, D), jnp.float32)
+    vc = jax.random.normal(jax.random.fold_in(key, 9), (B, H, D), jnp.float32)
+
+    out = np.asarray(ppa.paged_decode_attention_pallas(
+        q, cache.data, cache.scales, bt, ctx, jnp.int32(0), kc, vc, True,
+        D ** -0.5,
+    ))
+    os.environ["QSERVE_TPU_FORCE_XLA"] = "1"
+    use_pallas.cache_clear()
+    try:
+        ref = np.asarray(attention.paged_decode_attention(
+            q, cache, bt, ctx, jnp.int32(0), kc, vc, 4))
+    finally:
+        os.environ["QSERVE_TPU_FORCE_XLA"] = "0"
+        use_pallas.cache_clear()
+    err = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert err < 0.08, f"rel err {err}"
+
+
+def test_paged_attention_compiled_gqa_d128():
+    _attention_case(H=8, G=4, D=128, ps=256, ctx_lens=[300, 513])
+
+
+def test_paged_attention_compiled_d64():
+    """head_dim 64 (TinyLlama class): 2 heads per 128-lane block; exercises
+    the static sub-128 lane slices of the diagonal extraction."""
+    _attention_case(H=4, G=8, D=64, ps=256, ctx_lens=[300, 5])
+
+
+def test_flash_prefill_compiled_matches_xla():
+    from qserve_tpu.kernels import attention
+    from qserve_tpu.kernels import pallas_flash_attention as pfa
+    from qserve_tpu.kernels.ops import use_pallas
+
+    T, Hq, Hkv, D = 256, 8, 4, 128
+    key = jax.random.PRNGKey(4)
+    q = jax.random.normal(key, (T, Hq, D), jnp.float32)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (T, Hkv, D), jnp.float32)
+    v = jax.random.normal(jax.random.fold_in(key, 2), (T, Hkv, D), jnp.float32)
+    seg = jnp.asarray([1] * 130 + [2] * 90 + [0] * 36, jnp.int32)
+    out = np.asarray(
+        pfa.flash_prefill_attention_pallas(q, k, v, seg, D ** -0.5)
+    )
+    os.environ["QSERVE_TPU_FORCE_XLA"] = "1"
+    use_pallas.cache_clear()
+    try:
+        ref = np.asarray(attention.prefill_attention(q, k, v, seg))
+    finally:
+        os.environ["QSERVE_TPU_FORCE_XLA"] = "0"
+        use_pallas.cache_clear()
+    m = np.asarray(seg) > 0
+    np.testing.assert_allclose(out[m], ref[m], rtol=5e-2, atol=5e-2)
+
+
+def test_full_decode_step_compiled_vs_xla():
+    """One jitted decode step (GEMMs + attention + appends + lm head) on the
+    compiled Pallas path vs the XLA-fallback path: logits must agree to the
+    int8-P quantization noise floor."""
+    from qserve_tpu.config import QuantSpec
+    from qserve_tpu.kernels.ops import use_pallas
+    from qserve_tpu.models import llama
+
+    args = llama.LlamaArgs(
+        vocab_size=512, hidden_size=512, intermediate_size=1024,
+        num_layers=2, num_heads=8, num_kv_heads=4, head_dim=128,
+        quant=QuantSpec.from_precision("w4a8kv4"),
+    )
+    key = jax.random.PRNGKey(5)
+    fp = llama.random_float_params(key, args, scale=0.05)
+    params = llama.quantize_params(fp, args)
+    B, ps, maxP = 4, 256, 2
+    tok = jnp.asarray([3, 5, 7, 9], jnp.int32)
+    bt = jnp.asarray(np.arange(B * maxP).reshape(B, maxP), jnp.int32)
+    ctx = jnp.asarray([100, 3, 260, 1], jnp.int32)
+
+    def mk_cache():
+        cache = kvc.create_kv_cache(args.num_layers, B * maxP + 1,
+                                    args.num_kv_heads, ps, args.head_dim, 4)
+        for b in range(B):
+            hist = int(ctx[b]) - 1
+            if hist == 0:
+                continue
+            k = jax.random.normal(jax.random.fold_in(key, b),
+                                  (args.num_layers, hist, args.num_kv_heads,
+                                   args.head_dim))
+            v = jax.random.normal(jax.random.fold_in(key, 90 + b), k.shape)
+            pages = jnp.asarray([int(bt[b, i // ps]) for i in range(hist)],
+                                jnp.int32)
+            slots = jnp.asarray([i % ps for i in range(hist)], jnp.int32)
+            cache = kvc.append_all_layers(cache, k, v, pages, slots, 4, True)
+        return cache
+
+    def step(cache, interp: bool):
+        # fresh jit per mode: interpret_mode() is captured at trace time
+        os.environ["QSERVE_TPU_INTERPRET"] = "1" if interp else "0"
+        try:
+            @jax.jit
+            def f(cache):
+                logits, _ = llama.decode(params, cache, tok, bt, ctx, args)
+                return logits
+
+            return np.asarray(f(cache), np.float32)
+        finally:
+            os.environ["QSERVE_TPU_INTERPRET"] = "0"
+
+    # compiled Mosaic kernels vs the SAME kernels in interpret mode: identical
+    # arithmetic, so divergence means a Mosaic legalization bug (this is where
+    # compile/interpret divergence has bitten before). Random weights amplify
+    # perturbations layer over layer, so even this same-math comparison gets
+    # a small tolerance rather than bit-equality.
+    out = step(mk_cache(), interp=False)
+    ref = step(mk_cache(), interp=True)
+    l2 = np.linalg.norm(out - ref) / (np.linalg.norm(ref) + 1e-9)
+    mx = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert l2 < 0.02 and mx < 0.05, f"decode-step rel l2 {l2}, max {mx}"

@@ -159,3 +159,42 @@ class TestStackedIndexed:
             np.testing.assert_allclose(
                 np.asarray(out), np.asarray(refs[li]), rtol=2e-5, atol=2e-4
             )
+
+
+class TestW4A8PerChnBigM:
+    """Prefill-shape path: streamed half-split A blocks, weights fetched once."""
+
+    @pytest.mark.parametrize("M,K,N", [(512, 1024, 256), (384, 512, 128)])
+    def test_matches_reference(self, M, K, N):
+        x, w = _inputs(M, K, N, key=42)
+        p = qoq.quantize_weight_per_channel(w)
+        packed = packing.pack_w4(p.qweight)
+        a, ascale, asum = qoq.quantize_activation_per_token(x, with_sum=True)
+        out = pg.w4a8_gemm_per_chn_bigm_pallas(
+            a, ascale, asum, packed, p.s1_scale, p.s1_szero, jnp.float32
+        )
+        ref = qoq.w4a8_gemm_per_channel_ref(a, ascale, asum, p, jnp.float32)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-4)
+
+    def test_stacked_layer_indexed(self):
+        L, M, K, N = 2, 256, 1024, 128
+        packs, s1s, szs, refs = [], [], [], []
+        a = None
+        for li in range(L):
+            x, w = _inputs(M, K, N, key=50 + li)
+            p = qoq.quantize_weight_per_channel(w)
+            packs.append(packing.pack_w4(p.qweight))
+            s1s.append(p.s1_scale)
+            szs.append(p.s1_szero)
+            if a is None:
+                a, ascale, asum = qoq.quantize_activation_per_token(x, with_sum=True)
+            refs.append(qoq.w4a8_gemm_per_channel_ref(a, ascale, asum, p, jnp.float32))
+        qw = jnp.stack(packs)
+        for li in range(L):
+            out = pg.w4a8_gemm_per_chn_bigm_pallas(
+                a, ascale, asum, qw, jnp.stack(s1s), jnp.stack(szs),
+                jnp.float32, idx=jnp.asarray([li], jnp.int32),
+            )
+            np.testing.assert_allclose(np.asarray(out), np.asarray(refs[li]),
+                                       rtol=2e-5, atol=2e-4)

@@ -79,24 +79,24 @@ def _paged_attn_kernel(
     li_ref,  # [1] int32 layer index (SMEM)
     bt_ref,  # [B, maxP] int32 (SMEM)
     ctx_ref,  # [B] int32 (SMEM)
-    # blocked inputs (group-major rows: row g*H + h)
-    qlo_ref,  # [1, GH, HDc] int8 block-diagonal low-half queries (VMEM)
-    qhi_ref,  # [1, GH, HDc] int8 high-half (KV8: unused dummy [1, GH, 1])
-    qmeta_ref,  # [1, GH, 2] f32: col 0 = qscale*sm_scale, col 1 = qsum*sm_scale
+    # blocked inputs (group-major rows: row g*H + h); SB sequences/instance
+    qlo_ref,  # [SB, GH, HDc] int8 block-diagonal low-half queries (VMEM)
+    qhi_ref,  # [SB, GH, HDc] int8 high-half (KV8: unused dummy [SB, GH, 1])
+    qmeta_ref,  # [SB, GH, 2] f32: col 0 = qscale*sm_scale, col 1 = qsum*sm_scale
     # HBM-resident cache (FULL stacked arrays; no per-layer slicing)
     data_ref,  # [L, P, 2, ps, H*Dc] int8 (ANY)
     scales_ref,  # [L, P, 2, 2H, ps] f32/bf16 (ANY)
     # outputs: raw online-softmax state (self-attn merged outside)
-    acc_out,  # [1, GH, D] f32
-    m_out,  # [1, GH, 1] f32
-    l_out,  # [1, GH, 1] f32
-    # scratch
-    buf_d,  # [NBUF, 2, PCHUNK*ps, H*Dc] int8
-    buf_s,  # [NBUF, 2, 2H, PCHUNK*ps] f32/bf16
+    acc_out,  # [SB, GH, D] f32
+    m_out,  # [SB, GH, 1] f32
+    l_out,  # [SB, GH, 1] f32
+    # scratch (per in-instance sequence s)
+    buf_d,  # [SB, NBUF, 2, PCHUNK*ps, H*Dc] int8
+    buf_s,  # [SB, NBUF, 2, 2H, PCHUNK*ps] f32/bf16
     acc_ref,  # [GH, D] f32
     m_ref,  # [GH, 1] f32
     l_ref,  # [GH, 1] f32
-    sems,  # DMA sems [NBUF, 2, PCHUNK]
+    sems,  # DMA sems [SB, NBUF, 2, PCHUNK]
     *,
     ps: int,
     H: int,
@@ -107,44 +107,39 @@ def _paged_attn_kernel(
     PCHUNK: int,
     NBUF: int,
     window: int,  # 0 = full attention; else positions [hist-window, hist)
+    SB: int,  # sequences per grid instance
 ):
-    b = pl.program_id(0)
+    inst = pl.program_id(0)
     li = li_ref[0]
-    ctx = ctx_ref[b]
-    hist = jnp.maximum(ctx - 1, 0)
-    npages = jax.lax.div(hist + ps - 1, ps)
-    nblocks = jax.lax.div(npages + PCHUNK - 1, PCHUNK)
-    # sliding window: logical pages wholly below the window are never read
-    # (their physical pages may already be cyclically overwritten — the
-    # allocator reuses pages mod window_pages, core/block_manager.py); the
-    # congruence classes guarantee each in-window position is stored at its
-    # block-table slot with latest-write-wins semantics.
-    if window > 0:
-        # the current token (position hist) attends the last `window` keys
-        # including itself: history positions p with p > hist - window
-        win_lo = jnp.maximum(hist - window + 1, 0)
-        lo_block = jax.lax.div(win_lo, ps * PCHUNK)
-    else:
-        lo_block = jnp.int32(0)
     dc = D // 2 if kv4 else D
     GH = G * H
     ps2 = PCHUNK * ps
+    row_head = jax.lax.broadcasted_iota(jnp.int32, (GH, dc), 0) % H
 
-    acc_ref[:] = jnp.zeros_like(acc_ref)
-    m_ref[:] = jnp.full_like(m_ref, NEG_INF)
-    l_ref[:] = jnp.zeros_like(l_ref)
     # lanes of pages never DMA'd must read FINITE scales (first use of the
     # scratch could otherwise hold NaN bit patterns); with 0.0 there, the
     # p*scale products of masked slots are exact zeros with no extra wheres
     buf_s[:] = jnp.zeros_like(buf_s)
 
-    qlo = qlo_ref[0]  # [GH, HDc] int8
-    qhi = qhi_ref[0] if kv4 else None
-    qsc = qmeta_ref[0, :, 0:1]  # [GH, 1] qscale * sm_scale
-    qsm = qmeta_ref[0, :, 1:2]  # [GH, 1] qsum * sm_scale
-    row_head = jax.lax.broadcasted_iota(jnp.int32, (GH, dc), 0) % H
+    def seq_meta(s):
+        b = inst * SB + s
+        ctx = ctx_ref[b]
+        hist = jnp.maximum(ctx - 1, 0)
+        npages = jax.lax.div(hist + ps - 1, ps)
+        nblocks = jax.lax.div(npages + PCHUNK - 1, PCHUNK)
+        # sliding window: logical pages wholly below the window are never
+        # read (their physical pages may already be cyclically overwritten —
+        # the allocator reuses pages mod window_pages); the congruence
+        # classes make page-granular aliasing exact under the position mask.
+        if window > 0:
+            # position hist attends the last `window` keys incl. itself
+            win_lo = jnp.maximum(hist - window + 1, 0)
+            lo_block = jax.lax.div(win_lo, ps * PCHUNK)
+        else:
+            lo_block = jnp.int32(0)
+        return b, hist, npages, nblocks, lo_block
 
-    def start_block(slot, blk):
+    def start_block(s, b, npages, slot, blk):
         for j in range(PCHUNK):
             p = blk * PCHUNK + j
 
@@ -153,16 +148,16 @@ def _paged_attn_kernel(
                 page = bt_ref[b, p]
                 pltpu.make_async_copy(
                     data_ref.at[li, page],
-                    buf_d.at[slot, :, pl.ds(j * ps, ps), :],
-                    sems.at[slot, 0, j],
+                    buf_d.at[s, slot, :, pl.ds(j * ps, ps), :],
+                    sems.at[s, slot, 0, j],
                 ).start()
                 pltpu.make_async_copy(
                     scales_ref.at[li, page],
-                    buf_s.at[slot, :, :, pl.ds(j * ps, ps)],
-                    sems.at[slot, 1, j],
+                    buf_s.at[s, slot, :, :, pl.ds(j * ps, ps)],
+                    sems.at[s, slot, 1, j],
                 ).start()
 
-    def wait_block(slot, blk):
+    def wait_block(s, b, npages, slot, blk):
         for j in range(PCHUNK):
             p = blk * PCHUNK + j
 
@@ -171,122 +166,138 @@ def _paged_attn_kernel(
                 page = bt_ref[b, p]
                 pltpu.make_async_copy(
                     data_ref.at[li, page],
-                    buf_d.at[slot, :, pl.ds(j * ps, ps), :],
-                    sems.at[slot, 0, j],
+                    buf_d.at[s, slot, :, pl.ds(j * ps, ps), :],
+                    sems.at[s, slot, 0, j],
                 ).wait()
                 pltpu.make_async_copy(
                     scales_ref.at[li, page],
-                    buf_s.at[slot, :, :, pl.ds(j * ps, ps)],
-                    sems.at[slot, 1, j],
+                    buf_s.at[s, slot, :, :, pl.ds(j * ps, ps)],
+                    sems.at[s, slot, 1, j],
                 ).wait()
 
-    for j in range(NBUF):
-        @pl.when(lo_block + j < nblocks)
-        def _(j=j):
-            blk = lo_block + j
-            start_block(jax.lax.rem(blk, NBUF), blk)
+    # warm-up: start the first NBUF blocks of EVERY in-instance sequence up
+    # front, so sequence s+1's pages are in flight while sequence s computes
+    # (amortizes the DMA cold-start bubble across SB sequences)
+    metas = [seq_meta(s) for s in range(SB)]
+    for s in range(SB):
+        b, hist, npages, nblocks, lo_block = metas[s]
+        for j in range(NBUF):
+            @pl.when(lo_block + j < nblocks)
+            def _(s=s, b=b, npages=npages, lo_block=lo_block, j=j):
+                blk = lo_block + j
+                start_block(s, b, npages, jax.lax.rem(blk, NBUF), blk)
 
     def tile_g(row):  # [H, ps2] -> [GH, ps2] by stacking G copies (row g*H+h)
         if G == 1:
             return row
         return jnp.concatenate([row] * G, axis=0)
 
-    def body(blk, _):
-        slot = jax.lax.rem(blk, NBUF)
-        wait_block(slot, blk)
+    for s in range(SB):
+        b, hist, npages, nblocks, lo_block = metas[s]
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
 
-        kp = buf_d[slot, 0]  # [ps2, HDc] int8
-        vp = buf_d[slot, 1]
-        if kv4:
-            k_lo, k_hi = _unpack_nibbles(kp, interpret)  # int8, no float conv
-            v_lo, v_hi = _unpack_nibbles(vp, interpret)
-        else:
-            k_lo = kp  # KV8: stored u-128, s8 MXU-ready (append_layer)
-            v_lo, v_hi = vp, None
+        qlo = qlo_ref[s]  # [GH, HDc] int8
+        qhi = qhi_ref[s] if kv4 else None
+        qsc = qmeta_ref[s, :, 0:1]  # [GH, 1] qscale * sm_scale
+        qsm = qmeta_ref[s, :, 1:2]  # [GH, 1] qsum * sm_scale
 
-        ks_h = buf_s[slot, 0, :H, :].astype(jnp.float32)  # [H, ps2]
-        kz_h = buf_s[slot, 0, H:, :].astype(jnp.float32)
-        vs_h = buf_s[slot, 1, :H, :].astype(jnp.float32)
-        vz_h = buf_s[slot, 1, H:, :].astype(jnp.float32)
-        if not kv4:
-            # KV8 stores x = u - 128; k = u*ks + kz = x*ks + (kz + 128*ks)
-            kz_h = kz_h + 128.0 * ks_h
-            vz_h = vz_h + 128.0 * vs_h
-        ks = tile_g(ks_h)  # [GH, ps2]
-        kz = tile_g(kz_h)
-        vs = tile_g(vs_h)
-        vz = tile_g(vz_h)
+        def body(blk, _, s=s, b=b, hist=hist, npages=npages,
+                 nblocks=nblocks, qlo=qlo, qhi=qhi, qsc=qsc, qsm=qsm):
+            slot = jax.lax.rem(blk, NBUF)
+            wait_block(s, b, npages, slot, blk)
 
-        # scores: one s8 x s8 MXU op per nibble plane (covers PCHUNK pages)
-        qk = jax.lax.dot_general(
-            qlo, k_lo, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
-        if kv4:
-            qk = qk + jax.lax.dot_general(
-                qhi, k_hi, (((1,), (1,)), ((), ())),
+            kp = buf_d[s, slot, 0]  # [ps2, HDc] int8
+            vp = buf_d[s, slot, 1]
+            if kv4:
+                k_lo, k_hi = _unpack_nibbles(kp, interpret)
+                v_lo, v_hi = _unpack_nibbles(vp, interpret)
+            else:
+                k_lo = kp  # KV8: stored u-128, s8 MXU-ready (append_layer)
+                v_lo, v_hi = vp, None
+
+            ks_h = buf_s[s, slot, 0, :H, :].astype(jnp.float32)  # [H, ps2]
+            kz_h = buf_s[s, slot, 0, H:, :].astype(jnp.float32)
+            vs_h = buf_s[s, slot, 1, :H, :].astype(jnp.float32)
+            vz_h = buf_s[s, slot, 1, H:, :].astype(jnp.float32)
+            if not kv4:
+                # KV8 stores x = u-128; k = u*ks + kz = x*ks + (kz + 128*ks)
+                kz_h = kz_h + 128.0 * ks_h
+                vz_h = vz_h + 128.0 * vs_h
+            ks = tile_g(ks_h)  # [GH, ps2]
+            kz = tile_g(kz_h)
+            vs = tile_g(vs_h)
+            vz = tile_g(vz_h)
+
+            # scores: one s8 x s8 MXU op per nibble plane (PCHUNK pages)
+            qk = jax.lax.dot_general(
+                qlo, k_lo, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32,
-            )  # [GH, ps2]
+            )
+            if kv4:
+                qk = qk + jax.lax.dot_general(
+                    qhi, k_hi, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )  # [GH, ps2]
 
-        pos = blk * ps2 + jax.lax.broadcasted_iota(jnp.int32, (1, ps2), 1)
-        valid = pos < hist  # [1, ps2]; the current token is merged outside
-        if window > 0:
-            valid = valid & (pos > hist - window)
-        # sm_scale is folded into qsc/qsm by the host-side prep
-        s_gp = qk.astype(jnp.float32) * qsc * ks + qsm * kz
-        s_gp = jnp.where(valid, s_gp, NEG_INF)
+            pos = blk * ps2 + jax.lax.broadcasted_iota(jnp.int32, (1, ps2), 1)
+            valid = pos < hist  # [1, ps2]; the current token merges outside
+            if window > 0:
+                valid = valid & (pos > hist - window)
+            # sm_scale is folded into qsc/qsm by the host-side prep
+            s_gp = qk.astype(jnp.float32) * qsc * ks + qsm * kz
+            s_gp = jnp.where(valid, s_gp, NEG_INF)
 
-        # online softmax across the whole [GH, ps2] block; invalid lanes
-        # yield exp(NEG_INF - m) == 0 exactly, no re-masking needed
-        m_prev = m_ref[:]
-        m_new = jnp.maximum(m_prev, jnp.max(s_gp, axis=1, keepdims=True))
-        alpha = jnp.exp(m_prev - m_new)
-        p_gp = jnp.exp(s_gp - m_new)
-        l_ref[:] = l_ref[:] * alpha + jnp.sum(p_gp, axis=1, keepdims=True)
-        m_ref[:] = m_new
+            # online softmax; invalid lanes give exp(NEG_INF - m) == 0
+            m_prev = m_ref[:]
+            m_new = jnp.maximum(m_prev, jnp.max(s_gp, axis=1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            p_gp = jnp.exp(s_gp - m_new)
+            l_ref[:] = l_ref[:] * alpha + jnp.sum(p_gp, axis=1, keepdims=True)
+            m_ref[:] = m_new
 
-        # V: requantize (p*vs) rows to int8 -> s8 x s8 PV dot, no V conversion
-        # (vs lanes of masked slots are 0.0 or stale-finite; p there is 0)
-        pvs_f = p_gp * vs  # [GH, ps2] f32, >= 0 (vs is a positive scale)
-        pq_scale = jnp.maximum(
-            jnp.max(pvs_f, axis=1, keepdims=True), 1e-20
-        ) / 127.0
-        pvs_q = jnp.round(pvs_f / pq_scale).astype(jnp.int8)  # [GH, ps2]
-        pvz = jnp.sum(p_gp * vz, axis=1, keepdims=True)  # [GH, 1]
+            # V: requantize (p*vs) rows to int8 -> s8 x s8 PV dot
+            pvs_f = p_gp * vs  # [GH, ps2] f32, >= 0 (vs > 0)
+            pq_scale = jnp.maximum(
+                jnp.max(pvs_f, axis=1, keepdims=True), 1e-20
+            ) / 127.0
+            pvs_q = jnp.round(pvs_f / pq_scale).astype(jnp.int8)  # [GH, ps2]
+            pvz = jnp.sum(p_gp * vz, axis=1, keepdims=True)  # [GH, 1]
 
-        def diag_blocks(pv_full_i32):  # [GH, HDc] i32 -> [GH, dc] f32
-            pv_full = pv_full_i32.astype(jnp.float32) * pq_scale
-            out = jnp.zeros((GH, dc), jnp.float32)
-            for h in range(H):
-                sel = (row_head == h).astype(jnp.float32)
-                out = out + pv_full[:, h * dc : (h + 1) * dc] * sel
-            return out
+            def diag_blocks(pv_full_i32):  # [GH, HDc] i32 -> [GH, dc] f32
+                pv_full = pv_full_i32.astype(jnp.float32) * pq_scale
+                out = jnp.zeros((GH, dc), jnp.float32)
+                for h in range(H):
+                    sel = (row_head == h).astype(jnp.float32)
+                    out = out + pv_full[:, h * dc : (h + 1) * dc] * sel
+                return out
 
-        pv_lo = diag_blocks(jax.lax.dot_general(
-            pvs_q, v_lo, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        ))
-        if kv4:
-            pv_hi = diag_blocks(jax.lax.dot_general(
-                pvs_q, v_hi, (((1,), (0,)), ((), ())),
+            pv_lo = diag_blocks(jax.lax.dot_general(
+                pvs_q, v_lo, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
             ))
-            pv = jnp.concatenate([pv_lo, pv_hi], axis=1)  # [GH, D]
-        else:
-            pv = pv_lo
-        acc_ref[:] = acc_ref[:] * alpha + (pv + pvz)
+            if kv4:
+                pv_hi = diag_blocks(jax.lax.dot_general(
+                    pvs_q, v_hi, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                ))
+                pv = jnp.concatenate([pv_lo, pv_hi], axis=1)  # [GH, D]
+            else:
+                pv = pv_lo
+            acc_ref[:] = acc_ref[:] * alpha + (pv + pvz)
 
-        # buffer slot is free: refill with block blk + NBUF
-        @pl.when(blk + NBUF < nblocks)
-        def _():
-            start_block(slot, blk + NBUF)
-        return 0
+            # buffer slot is free: refill with block blk + NBUF
+            @pl.when(blk + NBUF < nblocks)
+            def _():
+                start_block(s, b, npages, slot, blk + NBUF)
+            return 0
 
-    jax.lax.fori_loop(lo_block, nblocks, body, 0, unroll=False)
+        jax.lax.fori_loop(lo_block, nblocks, body, 0, unroll=False)
 
-    acc_out[0] = acc_ref[:]
-    m_out[0] = m_ref[:]
-    l_out[0] = l_ref[:]
+        acc_out[s] = acc_ref[:]
+        m_out[s] = m_ref[:]
+        l_out[s] = l_ref[:]
 
 
 def supports(page_size: int, head_dim: int, hdc: int = 0) -> bool:
@@ -359,42 +370,53 @@ def paged_decode_attention_pallas(
     maxP = block_tables.shape[1]
     PCHUNK = 2 if maxP <= 8 else 4
     NBUF = 3 if PCHUNK == 2 else 2
+    # multiple sequences per grid instance when the batch allows: the later
+    # sequences' warm-up page DMAs are issued before the first computes, so
+    # the per-instance DMA cold-start bubble amortizes over all of them
+    import os as _os
+
+    # measured on v5e at B=128/ctx1280: SB 1/2/4/8/16 -> 4734/4881/5013/5206/
+    # 4372 tok/s (SB=16 blows the buffer budget); 8 is the sweet spot
+    SB = int(_os.environ.get("QSERVE_ATTN_SB", "8"))
+    while SB > 1 and (B % SB != 0 or B < 2 * SB):
+        SB //= 2
+    n_inst = B // SB
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(B,),
+        grid=(n_inst,),
         in_specs=[
-            pl.BlockSpec((1, GH, qb_lo.shape[2]), lambda b, *_: (b, 0, 0),
+            pl.BlockSpec((SB, GH, qb_lo.shape[2]), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, GH, qb_hi.shape[2]), lambda b, *_: (b, 0, 0),
+            pl.BlockSpec((SB, GH, qb_hi.shape[2]), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, GH, 2), lambda b, *_: (b, 0, 0),
+            pl.BlockSpec((SB, GH, 2), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((1, GH, D), lambda b, *_: (b, 0, 0),
+            pl.BlockSpec((SB, GH, D), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, GH, 1), lambda b, *_: (b, 0, 0),
+            pl.BlockSpec((SB, GH, 1), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, GH, 1), lambda b, *_: (b, 0, 0),
+            pl.BlockSpec((SB, GH, 1), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((NBUF, 2, PCHUNK * ps, hdc), jnp.int8),
-            pltpu.VMEM((NBUF, 2, 2 * H, PCHUNK * ps), scales.dtype),
+            pltpu.VMEM((SB, NBUF, 2, PCHUNK * ps, hdc), jnp.int8),
+            pltpu.VMEM((SB, NBUF, 2, 2 * H, PCHUNK * ps), scales.dtype),
             pltpu.VMEM((GH, D), jnp.float32),
             pltpu.VMEM((GH, 1), jnp.float32),
             pltpu.VMEM((GH, 1), jnp.float32),
-            pltpu.SemaphoreType.DMA((NBUF, 2, PCHUNK)),
+            pltpu.SemaphoreType.DMA((SB, NBUF, 2, PCHUNK)),
         ],
     )
     acc, m, l = pl.pallas_call(
         functools.partial(
             _paged_attn_kernel, ps=ps, H=H, G=G, D=D, kv4=kv4,
             interpret=interpret_mode(), PCHUNK=PCHUNK, NBUF=NBUF,
-            window=window,
+            window=window, SB=SB,
         ),
         grid_spec=grid_spec,
         out_shape=[
@@ -405,7 +427,10 @@ def paged_decode_attention_pallas(
         interpret=interpret_mode(),
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
-            dimension_semantics=("parallel",),  # megacore over batch
+            dimension_semantics=("parallel",),  # megacore over instances
+            # SB=2 doubles the page buffers; MHA models (H=32) need more
+            # than the 16MB default scoped budget (v5e: 128MB VMEM/core)
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * B * Hq * D * maxP * ps,

@@ -368,16 +368,22 @@ def paged_decode_attention_pallas(
     # short histories favor small page chunks (less masked tail compute);
     # long histories amortize per-iteration fixed costs over more slots
     maxP = block_tables.shape[1]
-    PCHUNK = 2 if maxP <= 8 else 4
-    NBUF = 3 if PCHUNK == 2 else 2
+    import os as _os0
+
+    # page-buffer budget ~24MB of VMEM across SB sequences x NBUF buffers x
+    # PCHUNK pages (each buffered page is 2*ps*hdc bytes of K+V data).
+    # Measured at B=128/ctx1280 (8B geometry, 96-page budget):
+    # (SB=8, NBUF=2, PCHUNK=6) -> 5625 tok/s vs (8,3,2) 5206 / (1,3,2) 4734.
+    budget_pages = max(6, (24 << 20) // (2 * ps * hdc))
+    PCHUNK = int(_os0.environ.get("QSERVE_ATTN_PCHUNK", str(min(6, maxP))))
+    NBUF = int(_os0.environ.get("QSERVE_ATTN_NBUF", "2"))
     # multiple sequences per grid instance when the batch allows: the later
     # sequences' warm-up page DMAs are issued before the first computes, so
     # the per-instance DMA cold-start bubble amortizes over all of them
     import os as _os
 
-    # measured on v5e at B=128/ctx1280: SB 1/2/4/8/16 -> 4734/4881/5013/5206/
-    # 4372 tok/s (SB=16 blows the buffer budget); 8 is the sweet spot
-    SB = int(_os.environ.get("QSERVE_ATTN_SB", "8"))
+    sb_fit = max(1, budget_pages // (NBUF * PCHUNK))
+    SB = int(_os.environ.get("QSERVE_ATTN_SB", str(min(8, sb_fit))))
     while SB > 1 and (B % SB != 0 or B < 2 * SB):
         SB //= 2
     n_inst = B // SB

@@ -120,9 +120,10 @@ class TestPagedAttentionParity:
             k_cur, v_cur, True, 1.0 / D ** 0.5,
         )
         expect = reference_attention(cache, bt, q, ctx, 0, k_cur, v_cur, 4)
-        # int8-quantized q rows + int8 (p*vs) PV dot: ~1% abs error scale
+        # int8-quantized q rows + int8 (p*vs) PV dot: ~1-2% abs error scale
+        # (larger page chunks share one pq_scale across more slots)
         np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
-                                   rtol=2e-2, atol=1.5e-2)
+                                   rtol=2e-2, atol=2.5e-2)
 
     def test_dispatcher_fallback_agrees(self):
         """attention.paged_decode_attention (XLA fallback) vs pallas kernel."""

@@ -20,6 +20,11 @@ import numpy as np
 
 BASELINE_TOK_S = 3656.0  # reference Llama-3-8B on L40S (README.md:340-348)
 
+_METRIC_NAMES = {
+    "8b": "llama3-8b", "7b": "llama2-7b", "13b": "llama2-13b",
+    "1b": "tinyllama-1.1b", "mixtral": "mixtral-8x7b-geometry",
+}
+
 
 def model_args(name: str, precision: str):
     from qserve_tpu.config import QuantSpec
@@ -157,8 +162,8 @@ def _run(B):
 
     tok_s = B * eff_steps / dt
     result = {
-        "metric": f"llama3-{name} {precision} decode throughput (1 chip, "
-                  f"batch {B}, ctx {ctx})",
+        "metric": f"{_METRIC_NAMES.get(name, name)} {precision} decode "
+                  f"throughput (1 chip, batch {B}, ctx {ctx})",
         "value": round(tok_s, 1),
         "unit": "tok/s",
         "vs_baseline": round(tok_s / BASELINE_TOK_S, 4),

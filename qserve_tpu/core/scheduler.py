@@ -163,6 +163,20 @@ class Scheduler:
             num_running_seqs = sum(
                 g.get_max_num_running_seqs() for g in self.running
             )
+            # a partially-prefilled prompt already HOLDS its pages; it must
+            # keep making progress even when recompute-preempted groups were
+            # appendleft'ed ahead of it, or the queue head can deadlock
+            # waiting for the pages it is sitting on (at most one group is
+            # mid-chunk at a time)
+            for i, g in enumerate(self.waiting):
+                ws = g.get_seqs(SequenceStatus.WAITING)
+                if ws and ws[0].data.computed_tokens > 0 and (
+                    self.block_manager.has_seq(ws[0])
+                ):
+                    if i > 0:
+                        del self.waiting[i]
+                        self.waiting.appendleft(g)
+                    break
             while self.waiting:
                 group = self.waiting[0]
                 waiting_seqs = group.get_seqs(SequenceStatus.WAITING)

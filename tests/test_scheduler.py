@@ -192,3 +192,38 @@ class TestSchedulerDeterminism:
         t2 = self._drive()
         assert t1 == t2
         assert any(step[0] for step in t1)  # something actually scheduled
+
+
+class TestChunkedPrefillPriority:
+    def test_mid_chunk_group_rotates_to_queue_head(self):
+        """A recompute-preempted prompt appendleft'ed ahead of a mid-chunk
+        group must not starve it: the page-holding mid-chunk group rotates
+        back to the head and keeps prefilling."""
+        from qserve_tpu.config import CacheConfig, QuantSpec, SchedulerConfig
+        from qserve_tpu.core.scheduler import Scheduler
+        from qserve_tpu.sampling_params import SamplingParams
+        from qserve_tpu.sequence import Sequence, SequenceGroup
+
+        sc = SchedulerConfig(max_num_batched_tokens=32, max_num_seqs=4,
+                             max_model_len=256)
+        cc = CacheConfig(block_size=8, num_device_pages=32,
+                         quant=QuantSpec.from_precision("w4a8kv4"))
+        sched = Scheduler(sc, cc)
+
+        long_seq = Sequence(0, None, list(range(1, 101)), 8)  # 100 tokens
+        long_group = SequenceGroup("long", [long_seq], SamplingParams())
+        sched.add_seq_group(long_group)
+
+        md, out = sched.schedule()  # first chunk (32 tokens)
+        assert out.prompt_chunks[0] == (0, 32)
+        assert long_seq.data.computed_tokens == 32
+
+        # simulate a preempted group jumping the queue
+        other = Sequence(1, None, [1, 2, 3], 8)
+        other_group = SequenceGroup("other", [other], SamplingParams())
+        sched.waiting.appendleft(other_group)
+
+        md, out = sched.schedule()  # must continue the CHUNKED group
+        assert out.scheduled_seq_groups[0] is long_group
+        assert out.prompt_chunks[0] == (32, 64)
+        assert long_seq.data.computed_tokens == 64

@@ -370,7 +370,8 @@ def _w4a8_chn_dispatch(a_i8, a_scale, a_sum, qw, s1, sz, out_dtype, idx=None):
 
 
 def _w4a8_grp_kernel(a_ref, w_ref, s2s_lo_ref, s2z_lo_ref, s2s_hi_ref,
-                     s2z_hi_ref, s1_ref, as_ref, out_ref, acc_ref,
+                     s2z_hi_ref, gsum_lo_ref, gsum_hi_ref, s1_ref, as_ref,
+                     out_ref, acc_ref,
                      *, nk: int, bk2: int, k_half: int, group: int,
                      lead: int):
     k = pl.program_id(2)
@@ -382,11 +383,12 @@ def _w4a8_grp_kernel(a_ref, w_ref, s2s_lo_ref, s2z_lo_ref, s2s_hi_ref,
     gpb = bk2 // group  # whole groups per nibble plane of this block
     lo, hi = unpack_w4_nibbles(_blk(w_ref, lead), interpret_mode())  # [bk2, bn]
 
-    def plane(a_start, w_plane, s2s, s2z):
-        # sum_g s2[g] * dot(a_g, q_g) + z2[g] * rowsum(a_g)
-        # (s2/z2 rows arrive as per-K-block BlockSpec slices, so all
-        # in-kernel row indexing is static — Mosaic rejects dynamic
-        # sub-tile row slices)
+    def plane(a_start, w_plane, s2s, s2z, gsum):
+        # sum_g s2[g] * dot(a_g, q_g) + z2[g] * gsum[:, g]
+        # (per-group activation row-sums arrive precomputed from batched XLA
+        # — the in-kernel reduction was a VPU pass per group; s2/z2 rows
+        # arrive as per-K-block BlockSpec slices so all in-kernel row
+        # indexing is static — Mosaic rejects dynamic sub-tile row slices)
         acc = jnp.zeros(acc_ref.shape, jnp.int32)
         for gi in range(gpb):  # static unroll: gpb is small (bk2/group)
             a_g = a_ref[:, pl.ds(a_start + gi * group, group)]
@@ -395,7 +397,7 @@ def _w4a8_grp_kernel(a_ref, w_ref, s2s_lo_ref, s2z_lo_ref, s2s_hi_ref,
                 a_g, q_g, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )  # [bm, bn]
-            asum_g = jnp.sum(a_g.astype(jnp.int32), axis=1, keepdims=True)
+            asum_g = gsum[:, gi : gi + 1]  # [bm, 1] int32
             s2 = s2s[gi : gi + 1, :] & 0xFF
             z2 = s2z[gi : gi + 1, :]
             acc += dot_g * s2 + asum_g * z2
@@ -405,8 +407,8 @@ def _w4a8_grp_kernel(a_ref, w_ref, s2s_lo_ref, s2z_lo_ref, s2s_hi_ref,
     s2z_lo = _blk(s2z_lo_ref, lead).astype(jnp.int32)
     s2s_hi = _blk(s2s_hi_ref, lead).astype(jnp.int32)
     s2z_hi = _blk(s2z_hi_ref, lead).astype(jnp.int32)
-    acc_ref[:] += plane(k * bk2, lo, s2s_lo, s2z_lo)
-    acc_ref[:] += plane(k_half + k * bk2, hi, s2s_hi, s2z_hi)
+    acc_ref[:] += plane(k * bk2, lo, s2s_lo, s2z_lo, gsum_lo_ref[:])
+    acc_ref[:] += plane(k_half + k * bk2, hi, s2s_hi, s2z_hi, gsum_hi_ref[:])
 
     @pl.when(k == nk - 1)
     def _():
@@ -437,6 +439,13 @@ def w4a8_gemm_per_group_pallas(
     lead1 = (1,) * lead
     ix, ix_plain = _ix_maps(idx, lead)
 
+    # per-group activation row-sums, computed ONCE in batched XLA instead of
+    # per (n, k) grid step on the kernel's VPU: [M, G] with the low-nibble
+    # plane's groups first (global half-split row order)
+    gsum = jnp.sum(
+        a_i8.astype(jnp.int32).reshape(M, G, group_size), axis=2
+    )  # [M, G] — groups in K order; lo plane = first G/2, hi = last G/2
+
     in_specs = [
         pl.BlockSpec((bm, K), ix_plain(lambda m, n, k: (m, 0)),
                      memory_space=pltpu.VMEM),
@@ -452,6 +461,10 @@ def w4a8_gemm_per_group_pallas(
         pl.BlockSpec(lead1 + (gpb, bn), ix(lambda m, n, k: (nk + k, n)),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec(lead1 + (gpb, bn), ix(lambda m, n, k: (nk + k, n)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bm, gpb), ix_plain(lambda m, n, k: (m, k)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bm, gpb), ix_plain(lambda m, n, k: (m, nk + k)),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec(lead1 + (1, bn), ix(lambda m, n, k: (0, n)),
                      memory_space=pltpu.VMEM),
@@ -473,7 +486,7 @@ def w4a8_gemm_per_group_pallas(
             transcendentals=0,
         ),
         (a_i8, qweight_packed, s2_scale, s2_zero, s2_scale, s2_zero,
-         s1, a_scale.reshape(M, 1)),
+         gsum, gsum, s1, a_scale.reshape(M, 1)),
         idx,
     )
 

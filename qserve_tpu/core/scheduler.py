@@ -72,6 +72,18 @@ class Scheduler:
     ) -> None:
         self.scheduler_config = scheduler_config
         self.cache_config = cache_config
+        if (
+            getattr(scheduler_config, "enable_chunked_prefill", True)
+            and scheduler_config.max_num_batched_tokens < cache_config.block_size
+        ):
+            # chunks are page-aligned; a budget below one page would compute
+            # a zero-token chunk and livelock the waiting-queue head
+            raise ValueError(
+                f"max_num_batched_tokens "
+                f"({scheduler_config.max_num_batched_tokens}) must be >= the "
+                f"KV cache block_size ({cache_config.block_size}) when "
+                f"chunked prefill is enabled"
+            )
         self.policy = PolicyFactory.get_policy("fcfs")
         self.block_manager = BlockSpaceManager(
             block_size=cache_config.block_size,
@@ -163,16 +175,15 @@ class Scheduler:
             num_running_seqs = sum(
                 g.get_max_num_running_seqs() for g in self.running
             )
-            # a partially-prefilled prompt already HOLDS its pages; it must
-            # keep making progress even when recompute-preempted groups were
-            # appendleft'ed ahead of it, or the queue head can deadlock
-            # waiting for the pages it is sitting on (at most one group is
-            # mid-chunk at a time)
+            # a waiting prompt that already HOLDS pages (mid-chunk, or
+            # allocated but budget-deferred) must keep making progress even
+            # when recompute-preempted groups were appendleft'ed ahead of it,
+            # or the queue head can deadlock waiting for the pages it is
+            # sitting on (at most one group is in that state at a time; page
+            # ownership — not prefill progress — is the deadlock condition)
             for i, g in enumerate(self.waiting):
                 ws = g.get_seqs(SequenceStatus.WAITING)
-                if ws and ws[0].data.computed_tokens > 0 and (
-                    self.block_manager.has_seq(ws[0])
-                ):
+                if ws and self.block_manager.has_seq(ws[0]):
                     if i > 0:
                         del self.waiting[i]
                         self.waiting.appendleft(g)

@@ -88,9 +88,10 @@ def prefix_prefill_attention(
     ref core/scheduler.py:192-201 / prefix.py). One sequence per step by
     scheduler construction.
 
-    XLA implementation (materializes [Hq, T, S+T] scores — fine for chunk
-    sizes up to a few K; a Pallas fusion can replace it under the same op
-    name "prefix_prefill_attention").
+    XLA implementation: online-softmax scan over fixed-size page chunks, so
+    peak transient memory is O(Hq * T * chunk) — independent of
+    max_model_len (the naive [Hq, T, S+T] score tensor would be GBs per
+    layer at 8K contexts).
     """
     fn = _impl("prefix_prefill_attention")
     if fn is not None:
@@ -104,34 +105,68 @@ def prefix_prefill_attention(
     rep = Hq // Hkv
     sm = sm_scale if sm_scale is not None else 1.0 / (D**0.5)
     layer = cache.layer(layer_idx)
-    kp, vp = kvc.gather_dequant_layer(layer, block_tables, kv_bits)  # [1,S,H,D]
-    S = kp.shape[1]
+    ps = layer.page_size
+    maxP = block_tables.shape[1]
 
-    k_all = jnp.concatenate([kp[0], k.astype(jnp.float32)], axis=0)  # [S+T,H,D]
-    v_all = jnp.concatenate([vp[0], v.astype(jnp.float32)], axis=0)
-    k_all = jnp.repeat(k_all, rep, axis=1)  # [S+T, Hq, D]
-    v_all = jnp.repeat(v_all, rep, axis=1)
+    # chunk the cached prefix: ~1K keys of transient score tensor at a time
+    ppc = max(1, 1024 // ps)
+    nchunks = -(-maxP // ppc)
+    tables = jnp.concatenate(
+        [block_tables[0], jnp.zeros((nchunks * ppc - maxP,), jnp.int32)]
+    ).reshape(nchunks, ppc)
+    chunk_base = jnp.arange(nchunks, dtype=jnp.int32) * (ppc * ps)
 
-    scores = jnp.einsum(
-        "thd,shd->hts", q.astype(jnp.float32), k_all
-    ) * sm  # [Hq, T, S+T]
-    key_pos = jnp.concatenate(
-        [jnp.arange(S, dtype=jnp.int32), positions]
-    )  # [S+T] absolute position of each key
-    key_valid = jnp.concatenate(
-        [jnp.arange(S, dtype=jnp.int32) < prefix_len, segment_ids > 0]
+    qf = q.astype(jnp.float32)
+    qv = segment_ids > 0
+
+    def body(carry, chunk):
+        pages, base = chunk
+        m, l, acc = carry
+        kc, vc = kvc.gather_dequant_layer(layer, pages[None], kv_bits)
+        kc = jnp.repeat(kc[0], rep, axis=1)  # [cS, Hq, D]
+        vc = jnp.repeat(vc[0], rep, axis=1)
+        cS = kc.shape[0]
+        key_pos = base + jnp.arange(cS, dtype=jnp.int32)
+        key_valid = key_pos < prefix_len
+        mask = key_valid[None, :] & qv[:, None] & (
+            key_pos[None, :] <= positions[:, None]
+        )
+        if sliding_window is not None:
+            mask = mask & (key_pos[None, :] > positions[:, None] - sliding_window)
+        scores = jnp.einsum("thd,shd->hts", qf, kc) * sm
+        scores = jnp.where(mask[None], scores, NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(scores, axis=-1, keepdims=True))
+        corr = jnp.exp(m - m_new)
+        p = jnp.exp(scores - m_new)
+        l = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * corr + jnp.einsum("hts,shd->htd", p, vc)
+        return (m_new, l, acc), None
+
+    init = (
+        jnp.full((Hq, T, 1), NEG_INF, jnp.float32),
+        jnp.zeros((Hq, T, 1), jnp.float32),
+        jnp.zeros((Hq, T, D), jnp.float32),
     )
-    mask = (
-        key_valid[None, :]
-        & (segment_ids > 0)[:, None]
-        & (key_pos[None, :] <= positions[:, None])
+    (m, l, acc), _ = jax.lax.scan(body, init, (tables, chunk_base))
+
+    # chunk self-attention (the T new keys), merged into the running softmax
+    ks = jnp.repeat(k.astype(jnp.float32), rep, axis=1)  # [T, Hq, D]
+    vs = jnp.repeat(v.astype(jnp.float32), rep, axis=1)
+    mask = qv[None, :] & qv[:, None] & (
+        positions[None, :] <= positions[:, None]
     )
     if sliding_window is not None:
-        mask = mask & (key_pos[None, :] > positions[:, None] - sliding_window)
+        mask = mask & (positions[None, :] > positions[:, None] - sliding_window)
+    scores = jnp.einsum("thd,shd->hts", qf, ks) * sm
     scores = jnp.where(mask[None], scores, NEG_INF)
-    p = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("hts,shd->thd", p, v_all)
-    return out.astype(q.dtype)
+    m_new = jnp.maximum(m, jnp.max(scores, axis=-1, keepdims=True))
+    corr = jnp.exp(m - m_new)
+    p = jnp.exp(scores - m_new)
+    l = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+    acc = acc * corr + jnp.einsum("hts,shd->htd", p, vs)
+
+    out = acc / jnp.maximum(l, 1e-30)
+    return jnp.swapaxes(out, 0, 1).astype(q.dtype)
 
 
 def paged_decode_attention(

@@ -152,8 +152,10 @@ def w4a8_gemm_per_chn(
     slices (never copies) the weights."""
     fn = _impl("w4a8_gemm_per_chn")
     if fn is not None:
-        return fn(a_i8, a_scale, a_sum, qweight_packed, s1_scale, s1_szero,
-                  out_dtype, idx)
+        out = fn(a_i8, a_scale, a_sum, qweight_packed, s1_scale, s1_szero,
+                 out_dtype, idx)
+        if out is not None:  # None = shape unsupported by the kernel
+            return out
     lead = qweight_packed.ndim - 2
     w = packing.unpack_w4(_slice_idx(qweight_packed, idx, lead))
     p = qoq.PerChannelW4(

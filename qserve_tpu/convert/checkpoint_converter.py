@@ -162,15 +162,31 @@ def load_packed_config(path: str) -> llama.LlamaArgs:
 
 def convert_hf_checkpoint(
     model_dir: str, out_dir: str, precision: str, group_size: int = -1,
-    kv_zp: bool = True,
+    kv_zp: bool = True, calib_corpus: str | None = None,
+    calib_windows: int = 32, calib_seqlen: int = 512, alpha: float = 0.5,
 ) -> None:
-    """Self-quantize a local HF fp checkpoint into the packed format."""
+    """Self-quantize a local HF fp checkpoint into the packed format.
+
+    With calib_corpus set, activation-aware scale optimization
+    (quant/optimize.py: SmoothQuant/SmoothAttention folds + AWQ-style clip
+    search — the in-framework stand-in for the reference's external
+    DeepCompressor/lmquant pipeline, ref scripts/ckpt_converter/
+    quant_utils.py:96-138) runs on the float weights before RTN."""
     from qserve_tpu.models import loader
 
     quant = QuantSpec.from_precision(precision, group_size, kv_zp)
     cfg = loader.load_hf_config_dict(model_dir)
     args = loader.args_from_config_dict(cfg, quant)
     fp = loader.load_float_params_from_hf(model_dir, args)
+    if calib_corpus is not None:
+        from qserve_tpu.quant import optimize
+
+        calib = optimize.load_calib_windows(
+            calib_corpus, n_windows=calib_windows, seqlen=calib_seqlen
+        )
+        fp = optimize.optimize_float_params(
+            fp, args, calib, alpha=alpha, alpha_attn=alpha
+        )
     params = llama.quantize_params(fp, args)
     save_packed_checkpoint(params, args, out_dir)
 

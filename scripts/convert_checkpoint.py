@@ -31,11 +31,20 @@ def main():
     ap.add_argument("--precision", default="w4a8kv4")
     ap.add_argument("--group-size", type=int, default=-1)
     ap.add_argument("--no-kv-zero-point", dest="kv_zp", action="store_false")
+    ap.add_argument("--calib-corpus", default=None,
+                    help="corpus dir (train.bin) enabling activation-aware "
+                         "scale optimization before RTN (self-quantize only)")
+    ap.add_argument("--calib-windows", type=int, default=32)
+    ap.add_argument("--calib-seqlen", type=int, default=512)
+    ap.add_argument("--alpha", type=float, default=0.5)
     args = ap.parse_args()
 
     from qserve_tpu.convert import checkpoint_converter as cc
 
     if args.quant_path:
+        if args.calib_corpus:
+            ap.error("--calib-corpus applies to self-quantization only "
+                     "(DeepCompressor scales are already optimized)")
         cc.convert_deepcompressor_checkpoint(
             args.model_path, args.quant_path, args.output_path,
             args.precision, args.group_size, args.kv_zp,
@@ -43,7 +52,9 @@ def main():
     else:
         cc.convert_hf_checkpoint(
             args.model_path, args.output_path, args.precision,
-            args.group_size, args.kv_zp,
+            args.group_size, args.kv_zp, calib_corpus=args.calib_corpus,
+            calib_windows=args.calib_windows, calib_seqlen=args.calib_seqlen,
+            alpha=args.alpha,
         )
     print(f"wrote packed checkpoint to {args.output_path}")
 

@@ -63,6 +63,14 @@ def main():
     ap.add_argument("corpus_dir")
     ap.add_argument("--seqlen", type=int, default=512)
     ap.add_argument("--windows", type=int, default=64)
+    ap.add_argument(
+        "--optimize", action="store_true",
+        help="also evaluate activation-aware optimized scales "
+        "(quant/optimize.py: SmoothQuant+SmoothAttention folds + clip search) "
+        "next to plain RTN for each 4-bit flavor",
+    )
+    ap.add_argument("--calib-windows", type=int, default=32)
+    ap.add_argument("--alpha", type=float, default=0.5)
     args = ap.parse_args()
 
     from qserve_tpu.config import QuantSpec
@@ -74,32 +82,53 @@ def main():
 
     cfg = loader.load_hf_config_dict(args.ckpt_dir)
     fp = None
+    fp_opt = {}  # group_size -> optimized float params (clip is gs-dependent)
     results = {}
-    for precision, gs, kv_sim, label in [
-        ("w16a16kv8", -1, False, "FP16 (baseline)"),
-        ("w8a8kv8", -1, True, "W8A8KV8"),
-        ("w4a8kv4", -1, True, "W4A8KV4 per-channel"),
-        ("w4a8kv4", 128, True, "W4A8KV4 g128"),
-    ]:
+    configs = [
+        ("w16a16kv8", -1, False, False, "FP16 (baseline)"),
+        ("w8a8kv8", -1, True, False, "W8A8KV8"),
+        ("w4a8kv4", -1, True, False, "W4A8KV4 per-channel"),
+        ("w4a8kv4", 128, True, False, "W4A8KV4 g128"),
+    ]
+    if args.optimize:
+        configs += [
+            ("w4a8kv4", -1, True, True, "W4A8KV4 per-channel +opt"),
+            ("w4a8kv4", 128, True, True, "W4A8KV4 g128 +opt"),
+        ]
+    for precision, gs, kv_sim, opt, label in configs:
         quant = QuantSpec.from_precision(precision, gs)
         margs = loader.args_from_config_dict(cfg, quant)
         if fp is None:
             fp = loader.load_float_params_from_hf(args.ckpt_dir, margs)
         t0 = time.time()
-        params = llama.quantize_params(fp, margs)
+        src = fp
+        if opt:
+            if gs not in fp_opt:
+                from qserve_tpu.quant import optimize
+
+                calib = optimize.load_calib_windows(
+                    args.corpus_dir, n_windows=args.calib_windows,
+                    seqlen=args.seqlen, bos=BOS,
+                )
+                fp_opt[gs] = optimize.optimize_float_params(
+                    fp, margs, calib, alpha=args.alpha,
+                    alpha_attn=args.alpha,
+                )
+            src = fp_opt[gs]
+        params = llama.quantize_params(src, margs)
         ppl, n = evaluate(
             params, margs, tokens, args.seqlen, args.windows, kv_sim
         )
         results[label] = ppl
         print(
-            f"{label:<22} ppl {ppl:8.4f}   ({n} windows x {args.seqlen}, "
+            f"{label:<26} ppl {ppl:8.4f}   ({n} windows x {args.seqlen}, "
             f"{time.time() - t0:5.1f}s)",
             flush=True,
         )
     base = results["FP16 (baseline)"]
     for label, ppl in results.items():
         if label != "FP16 (baseline)":
-            print(f"Δppl {label:<22} {ppl - base:+.4f}")
+            print(f"Δppl {label:<26} {ppl - base:+.4f}")
 
 
 if __name__ == "__main__":

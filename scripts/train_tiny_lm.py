@@ -56,6 +56,16 @@ def model_config(hidden=512, inter=1536, layers=8, heads=4, kv_heads=2):
     )
 
 
+# Named geometries: "26m" is the round-2 model; "110m" is the round-3 scale-up
+# (less quantization-sensitive, cuts eval noise for the RTN-vs-optimized-scale
+# comparison). head_dim stays 128 on the larger model to match the flagship
+# serving-kernel path.
+GEOMETRIES = {
+    "26m": dict(hidden=512, inter=1536, layers=8, heads=4, kv_heads=2),
+    "110m": dict(hidden=1024, inter=2816, layers=10, heads=8, kv_heads=2),
+}
+
+
 def init_params(key, cfg):
     E, I, L = cfg["hidden_size"], cfg["intermediate_size"], cfg["num_hidden_layers"]
     V = cfg["vocab_size"]
@@ -153,11 +163,12 @@ def main():
     ap.add_argument("--seq", type=int, default=512)
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--chunk", type=int, default=50, help="steps per dispatch")
+    ap.add_argument("--geometry", choices=sorted(GEOMETRIES), default="26m")
     args = ap.parse_args()
 
     import optax
 
-    cfg = model_config()
+    cfg = model_config(**GEOMETRIES[args.geometry])
     data = np.fromfile(os.path.join(args.corpus_dir, "train.bin"), np.uint8)
     print(f"train corpus: {len(data) / 1e6:.1f} MB")
     data_dev = jax.device_put(jnp.asarray(data, jnp.int32))

@@ -229,12 +229,19 @@ class EngineArgs:
         elif self.tensor_parallel_size > 1 or self.data_parallel_size > 1:
             # real TP/DP over a jax mesh (the reference's TP is vestigial —
             # models hardcode tp_size=1, worker.py:100-103)
+            from qserve_tpu.models import mixtral as mixtral_mod
+
             if self.random_weights:
                 import jax as _jax
 
-                fp = llama_mod.random_float_params(
-                    _jax.random.PRNGKey(self.seed), args
+                rand_fp = (
+                    mixtral_mod.random_float_params
+                    if args.num_experts
+                    else llama_mod.random_float_params
                 )
+                fp = rand_fp(_jax.random.PRNGKey(self.seed), args)
+            elif args.num_experts:
+                fp = mixtral_mod.load_float_params_from_hf(self.model, args)
             else:
                 fp = loader.load_float_params_from_hf(self.model, args)
             worker = Worker.create_tp(

@@ -131,15 +131,34 @@ def quantize_params_tp(
     assert V % tp == 0, f"vocab {V} not divisible by tp {tp}"
     vloc = V // tp
 
-    def build_layer(fl):
+    def shard_gate_up(gu):
+        """[E, 2I] -> per-shard [g_loc ++ u_loc] blocks, quantized, concat."""
+        g_blk, u_blk = gu[:, :I], gu[:, I:]
+        shards = [
+            _quant(
+                np.concatenate(
+                    [g_blk[:, s * iloc : (s + 1) * iloc],
+                     u_blk[:, s * iloc : (s + 1) * iloc]],
+                    axis=1,
+                ),
+                args,
+            )
+            for s in range(tp)
+        ]
+        return _concat_linear(shards, col_parallel=True)
+
+    def shard_down(down):
+        shards = [
+            _quant(down[s * iloc : (s + 1) * iloc, :], args) for s in range(tp)
+        ]
+        return _concat_linear(shards, col_parallel=False)
+
+    def shard_attn(fl):
+        """qkv (column-parallel, head-blocked) + o (row-parallel)."""
         qkv = np.asarray(fl["qkv"])
         q_blk, k_blk, v_blk = qkv[:, :qs], qkv[:, qs : qs + ks], qkv[:, qs + ks :]
-        gu = np.asarray(fl["gate_up"])
-        g_blk, u_blk = gu[:, :I], gu[:, I:]
         o = np.asarray(fl["o"])
-        down = np.asarray(fl["down"])
-
-        qkv_shards, gu_shards, o_shards, down_shards = [], [], [], []
+        qkv_shards, o_shards = [], []
         for s in range(tp):
             qkv_s = np.concatenate(
                 [
@@ -149,19 +168,46 @@ def quantize_params_tp(
                 ],
                 axis=1,
             )
-            gu_s = np.concatenate(
-                [g_blk[:, s * iloc : (s + 1) * iloc], u_blk[:, s * iloc : (s + 1) * iloc]],
-                axis=1,
-            )
             qkv_shards.append(_quant(qkv_s, args))
-            gu_shards.append(_quant(gu_s, args))
             o_shards.append(_quant(o[s * qloc : (s + 1) * qloc, :], args))
-            down_shards.append(_quant(down[s * iloc : (s + 1) * iloc, :], args))
-
         qkv_g, qkv_spec = _concat_linear(qkv_shards, col_parallel=True)
-        gu_g, gu_spec = _concat_linear(gu_shards, col_parallel=True)
         o_g, o_spec = _concat_linear(o_shards, col_parallel=False)
-        down_g, down_spec = _concat_linear(down_shards, col_parallel=False)
+        return qkv_g, qkv_spec, o_g, o_spec
+
+    def _stack_experts(pairs):
+        """[(LinearParams, spec)] per expert -> stacked params + spec with a
+        leading replicated expert axis."""
+        params = jax.tree.map(lambda *xs: jnp.stack(xs), *(p for p, _ in pairs))
+        spec = jax.tree.map(
+            lambda s: P(None, *s), pairs[0][1],
+            is_leaf=lambda x: isinstance(x, P),
+        )
+        return params, spec
+
+    def build_layer(fl):
+        qkv_g, qkv_spec, o_g, o_spec = shard_attn(fl)
+        if "router" in fl:  # sparse-MoE layer (Mixtral)
+            gu_g, gu_spec = _stack_experts(
+                [shard_gate_up(np.asarray(w)) for w in fl["experts_gate_up"]]
+            )
+            down_g, down_spec = _stack_experts(
+                [shard_down(np.asarray(w)) for w in fl["experts_down"]]
+            )
+            layer = llama.MoELayerParams(
+                input_ln=jnp.asarray(fl["input_ln"], jnp.float32),
+                qkv=qkv_g, o=o_g,
+                post_ln=jnp.asarray(fl["post_ln"], jnp.float32),
+                router=jnp.asarray(fl["router"], jnp.float32),
+                gate_up=gu_g, down=down_g,
+            )
+            spec = llama.MoELayerParams(
+                input_ln=P(None), qkv=qkv_spec, o=o_spec,
+                post_ln=P(None), router=P(None, None),
+                gate_up=gu_spec, down=down_spec,
+            )
+            return layer, spec
+        gu_g, gu_spec = shard_gate_up(np.asarray(fl["gate_up"]))
+        down_g, down_spec = shard_down(np.asarray(fl["down"]))
         layer = llama.LlamaLayerParams(
             input_ln=jnp.asarray(fl["input_ln"], jnp.float32),
             qkv=qkv_g, o=o_g,

@@ -96,7 +96,12 @@ class TPModelRunner(ModelRunner):
     @classmethod
     def from_random_tp(cls, model_args, max_model_len, block_size, tp_size,
                        seed: int = 0, **kw):
-        fp = llama.random_float_params(jax.random.PRNGKey(seed), model_args)
+        if model_args.num_experts:
+            from qserve_tpu.models import mixtral
+
+            fp = mixtral.random_float_params(jax.random.PRNGKey(seed), model_args)
+        else:
+            fp = llama.random_float_params(jax.random.PRNGKey(seed), model_args)
         return cls(fp, model_args, max_model_len, block_size, tp_size, **kw)
 
     def shard_cache(self, cache: kvc.KVCache) -> kvc.KVCache:

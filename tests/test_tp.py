@@ -144,3 +144,72 @@ class TestTensorParallel:
         toks, toks2 = run_tp(argsN, fp, TOKENS, dp=2)
         assert np.isfinite(toks).all()
         assert int(toks[0]) == int(toks[1])
+
+
+def make_moe_args(precision="w16a16kv8", tp=2, n_exp=4):
+    import dataclasses
+
+    return dataclasses.replace(
+        make_args(precision, tp), num_experts=n_exp, moe_top_k=2,
+        intermediate_size=128,
+    )
+
+
+class TestMoETensorParallel:
+    """MoE x TP: expert gate_up column-parallel, expert down row-parallel +
+    psum, router replicated (the sharding the reference never shipped —
+    mixtral_w4a8_unpad.py:288)."""
+
+    @pytest.mark.parametrize("precision", ["w16a16kv8", "w4a8kv4"])
+    def test_moe_tp2_matches_single(self, precision):
+        from qserve_tpu.models import mixtral
+
+        args1 = make_moe_args(precision, 1)
+        argsN = make_moe_args(precision, 2)
+        fp = mixtral.random_float_params(jax.random.PRNGKey(5), args1, scale=0.05)
+        params1 = mixtral.quantize_params(fp, args1)
+        kv = kvc.create_kv_cache(
+            args1.num_layers, 16, args1.num_kv_heads, PAGE, args1.head_dim,
+            args1.quant.kv_bits,
+        )
+        T, n = 16, len(TOKENS)
+        tok = np.zeros(T, np.int32); tok[:n] = TOKENS
+        pos = np.zeros(T, np.int32); pos[:n] = np.arange(n)
+        seg = np.zeros(T, np.int32); seg[:n] = 1
+        pages = np.full(T, -1, np.int32); pages[:n] = 0
+        slots = np.zeros(T, np.int32); slots[:n] = np.arange(n)
+        pre1, kv = llama.prefill(
+            params1, kv, *map(jnp.asarray, (tok, pos, seg, pages, slots,
+                                            np.array([n - 1], np.int32))),
+            args1,
+        )
+        dec1, _ = llama.decode(
+            params1, kv, jnp.asarray([42], jnp.int32),
+            jnp.asarray([[0, 1, 2, 3]], jnp.int32),
+            jnp.asarray([n + 1], jnp.int32), args1,
+        )
+        toks, toks2 = run_tp(argsN, fp, TOKENS)
+        assert int(toks[0]) == int(jnp.argmax(pre1[0]))
+        assert int(toks2[0]) == int(jnp.argmax(dec1[0]))
+
+    def test_moe_tp_sharding_layout(self):
+        """Expert weights: global column-axis sharded on tp, expert axis
+        replicated; router replicated."""
+        from jax.sharding import PartitionSpec as P
+
+        from qserve_tpu.models import mixtral
+        from qserve_tpu.parallel import tp as tpm
+
+        args = make_moe_args("w4a8kv4", 2)
+        fp = mixtral.random_float_params(jax.random.PRNGKey(6), args, scale=0.05)
+        params, specs = tpm.quantize_params_tp(fp, args)
+        lspec = specs.layers
+        assert lspec.router == P(None, None, None)  # [L, E, n_exp] replicated
+        # stacked [L, n_exp, Kpacked, N]: N sharded for col-parallel gate_up
+        assert lspec.gate_up.qweight == P(None, None, None, tpm.TP)
+        # row-parallel down: packed rows sharded
+        assert lspec.down.qweight == P(None, None, tpm.TP, None)
+        I = args.intermediate_size
+        gu = params.layers.gate_up
+        # per-shard [g_loc ++ u_loc]: global column count = 2I
+        assert gu.qweight.shape[-1] == 2 * I

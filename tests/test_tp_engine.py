@@ -47,3 +47,109 @@ def test_tp2_generation_matches_tp1(precision):
     # tiny model; require the first tokens to agree
     assert toks_tp[0] == toks_1[0]
     assert all(0 <= t < 256 for t in toks_tp)
+
+
+def _tp_engine(num_pages=32, max_seqs=4, num_cpu_pages=0, max_len=96,
+               precision="w8a8kv8"):
+    quant = QuantSpec.from_precision(precision)
+    args = llama.LlamaArgs(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_layers=2, num_heads=4, num_kv_heads=2, head_dim=16, quant=quant,
+    )
+    fp = llama.random_float_params(jax.random.PRNGKey(0), args, scale=0.05)
+    cache = CacheConfig(block_size=16, num_device_pages=num_pages,
+                        num_cpu_pages=num_cpu_pages, quant=quant)
+    sched = SchedulerConfig(max_num_batched_tokens=256, max_num_seqs=max_seqs,
+                            max_model_len=max_len)
+    worker = Worker.create_tp(fp, args, cache, sched, tp_size=2)
+    return LLMEngine(worker, sched, cache, tokenizer=None)
+
+
+def _drive(engine, max_steps=400):
+    outs, steps = [], 0
+    while engine.has_unfinished_requests() and steps < max_steps:
+        outs.extend(engine.step())
+        steps += 1
+    return outs, steps
+
+
+class TestTPRobustness:
+    """Preemption / swap / abort on the TP engine (the dense-runner
+    robustness suite, re-run over the shard_map step functions)."""
+
+    def test_tp_abort_mid_generation(self):
+        engine = _tp_engine()
+        sp = SamplingParams(max_tokens=20, temperature=0.0, ignore_eos=True)
+        engine.add_request("a", prompt_token_ids=[1, 2, 3], sampling_params=sp)
+        engine.add_request("b", prompt_token_ids=[4, 5, 6], sampling_params=sp)
+        engine.step()
+        engine.abort_request("a")
+        outs, _ = _drive(engine)
+        done = {o.request_id for o in outs if o.finished}
+        assert done == {"b"}
+        assert engine.scheduler.block_manager.get_num_free_device_pages() == 32
+
+    def test_tp_recompute_preemption_under_page_pressure(self):
+        engine = _tp_engine(num_pages=7, max_seqs=3)
+        sp = SamplingParams(max_tokens=34, temperature=0.0, ignore_eos=True)
+        for i in range(3):
+            engine.add_request(f"r{i}", prompt_token_ids=[i + 1] * 14,
+                               sampling_params=sp)
+        outs, _ = _drive(engine)
+        done = {o.request_id for o in outs if o.finished}
+        assert done == {"r0", "r1", "r2"}
+        for o in outs:
+            if o.finished:
+                assert len(o.outputs[0]["token_ids"]) == 34
+        assert engine.scheduler.block_manager.get_num_free_device_pages() == 7
+
+    def test_tp_swap_preemption_roundtrip(self):
+        engine = _tp_engine(num_pages=8, num_cpu_pages=8)
+        sp = SamplingParams(max_tokens=8, temperature=0.0, ignore_eos=True)
+        engine.add_request("s0", prompt_token_ids=[1] * 14, sampling_params=sp)
+        engine.step()
+        sched = engine.scheduler
+        group = sched.running[0]
+
+        from qserve_tpu.core.scheduler import PreemptionMode
+
+        swaps = {}
+        sched._preempt(group, swaps, mode=PreemptionMode.SWAP)
+        sched.running.clear()
+        assert group in sched.swapped and swaps
+        engine.worker.cache_engine.swap_out(swaps)
+        outs, _ = _drive(engine)
+        done = [o for o in outs if o.finished]
+        assert len(done) == 1
+        assert len(done[0].outputs[0]["token_ids"]) == 8
+
+
+class TestMoETPEngine:
+    def test_full_depth_mixtral_geometry_tp2(self):
+        """Full-depth (32-layer) Mixtral-geometry MoE at tp=2 — the
+        configuration the reference cannot build at any size
+        (mixtral_w4a8_unpad.py:288) and round 2 could not shard."""
+        from qserve_tpu.models import mixtral
+
+        quant = QuantSpec.from_precision("w4a8kv4")
+        args = llama.LlamaArgs(
+            vocab_size=128, hidden_size=64, intermediate_size=128,
+            num_layers=32, num_heads=4, num_kv_heads=2, head_dim=16,
+            num_experts=8, moe_top_k=2, quant=quant,
+        )
+        fp = mixtral.random_float_params(jax.random.PRNGKey(1), args, scale=0.08)
+        cache = CacheConfig(block_size=16, num_device_pages=64, quant=quant)
+        sched = SchedulerConfig(max_num_batched_tokens=128, max_num_seqs=2,
+                                max_model_len=64)
+        worker = Worker.create_tp(fp, args, cache, sched, tp_size=2)
+        engine = LLMEngine(worker, sched, cache, tokenizer=None)
+        engine.add_request(
+            "m", prompt_token_ids=[5, 6, 7, 8],
+            sampling_params=SamplingParams(max_tokens=4, temperature=0.0,
+                                           ignore_eos=True),
+        )
+        outs, _ = _drive(engine, max_steps=10)
+        done = [o for o in outs if o.finished]
+        assert len(done) == 1
+        assert len(done[0].outputs[0]["token_ids"]) == 4
+        assert all(0 <= t < 128 for t in done[0].outputs[0]["token_ids"])

@@ -249,3 +249,48 @@ def test_full_decode_step_compiled_vs_xla():
     l2 = np.linalg.norm(out - ref) / (np.linalg.norm(ref) + 1e-9)
     mx = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
     assert l2 < 0.02 and mx < 0.05, f"decode-step rel l2 {l2}, max {mx}"
+
+
+def test_prefix_prefill_compiled_matches_xla():
+    """Chunked-prefill/prefix attention kernel through the real Mosaic
+    compiler (page DMA loop + int8 planes + bf16 self phase)."""
+    from qserve_tpu.kernels import attention
+    from qserve_tpu.kernels import pallas_prefix_attention as ppx
+    from qserve_tpu.kernels.ops import use_pallas
+
+    Hq, Hkv, D, ps = 8, 4, 128, 256
+    T, prefix_len = 256, 300
+    key = jax.random.PRNGKey(11)
+    npages = -(-prefix_len // ps)
+    cache = kvc.create_kv_cache(1, npages + 1, Hkv, ps, D, 4)
+    kh = jax.random.normal(key, (1, prefix_len, Hkv, D))
+    vh = jax.random.normal(jax.random.fold_in(key, 1), kh.shape)
+    pages = jnp.asarray([i // ps for i in range(prefix_len)], jnp.int32)
+    slots = jnp.asarray([i % ps for i in range(prefix_len)], jnp.int32)
+    cache = kvc.append_all_layers(cache, kh, vh, pages, slots, 4, True)
+    bt = jnp.asarray([[0, 1, 0, 0]], jnp.int32)[:, :max(npages, 1) + 1]
+
+    q = jax.random.normal(jax.random.fold_in(key, 2), (T, Hq, D), jnp.float32)
+    k = jax.random.normal(jax.random.fold_in(key, 3), (T, Hkv, D), jnp.float32)
+    v = jax.random.normal(jax.random.fold_in(key, 4), (T, Hkv, D), jnp.float32)
+    seg = jnp.asarray([1] * 200 + [0] * 56, jnp.int32)
+    pos = jnp.asarray(
+        [prefix_len + i for i in range(200)] + [0] * 56, jnp.int32
+    )
+
+    out = np.asarray(ppx.prefix_prefill_attention_pallas(
+        q, k, v, pos, seg, cache.data, cache.scales, bt,
+        jnp.int32(prefix_len), jnp.int32(0), True, D ** -0.5, bt=256,
+    ), np.float32)
+    os.environ["QSERVE_TPU_FORCE_XLA"] = "1"
+    use_pallas.cache_clear()
+    try:
+        ref = np.asarray(attention.prefix_prefill_attention(
+            q, k, v, seg, pos, cache, bt, jnp.int32(prefix_len),
+            jnp.int32(0), 4), np.float32)
+    finally:
+        os.environ["QSERVE_TPU_FORCE_XLA"] = "0"
+        use_pallas.cache_clear()
+    m = np.asarray(seg) > 0
+    err = np.abs(out[m] - ref[m]).max() / (np.abs(ref[m]).max() + 1e-9)
+    assert err < 0.08, f"rel err {err}"

@@ -190,9 +190,10 @@ class EngineArgs:
                 self.model, quant, self.scan_layers, self.quant_path
             )
 
-        if self.run_vlm or self.tensor_parallel_size > 1 or self.data_parallel_size > 1:
-            # chunked prefill's continuation step is a dense-runner path for
-            # now; VLM/TP engines keep the reference's long-prompt rejection
+        if self.run_vlm:
+            # a VLM prompt's image-embed splice spans chunk boundaries; the
+            # VLM engine keeps the reference's long-prompt rejection for now
+            # (TP engines chunk through the shard_map chunk step fn)
             scheduler_config.enable_chunked_prefill = False
 
         if args.sliding_window is not None:

@@ -326,6 +326,27 @@ def build_step_fns(args: llama.LlamaArgs, mesh: Mesh, param_specs):
         toks = sampler_mod.sample(logits, temp, topp, topk, _key_for_shard(key))
         return toks, kv
 
+    def prefill_logits_body(params, kv, tok, pos, seg, pages, slots, last_idx,
+                            temp, topp, topk, key):
+        """Prefill also returning last-token logits (n>1 / best_of>1: the
+        host draws extra candidates from them, like the dense runner)."""
+        logits, kv = llama.prefill(
+            params, kv, tok, pos, seg, pages, slots, last_idx, args
+        )
+        toks = sampler_mod.sample(logits, temp, topp, topk, _key_for_shard(key))
+        return toks, kv, logits.astype(jnp.float32)
+
+    def chunk_body(params, kv, tok, pos, seg, pages, slots, last_idx, bt,
+                   prefix_len, temp, topp, topk, key):
+        """Prefix-continuation chunk (chunked prefill) under shard_map; the
+        cached prefix attends through the kv-head-sharded cache."""
+        logits, kv = llama.prefill_chunk(
+            params, kv, tok, pos, seg, pages, slots, last_idx, bt,
+            prefix_len.reshape(()), args,
+        )
+        toks = sampler_mod.sample(logits, temp, topp, topk, _key_for_shard(key))
+        return toks, kv
+
     def decode_body(params, kv, tok, bt, ctx, temp, topp, topk, key):
         logits, kv = llama.decode(params, kv, tok, bt, ctx, args)
         toks = sampler_mod.sample(logits, temp, topp, topk, _key_for_shard(key))
@@ -338,6 +359,18 @@ def build_step_fns(args: llama.LlamaArgs, mesh: Mesh, param_specs):
                   dpv, dpv, dpv, P()),
         out_specs=(dpv, kv_specs),
     )
+    prefill_logits = _shard_map(
+        prefill_logits_body, mesh,
+        in_specs=(param_specs, kv_specs, dpv, dpv, dpv, dpv, dpv, dpv,
+                  dpv, dpv, dpv, P()),
+        out_specs=(dpv, kv_specs, dpv),
+    )
+    chunk = _shard_map(
+        chunk_body, mesh,
+        in_specs=(param_specs, kv_specs, dpv, dpv, dpv, dpv, dpv, dpv,
+                  P(DP, None), dpv, dpv, dpv, dpv, P()),
+        out_specs=(dpv, kv_specs),
+    )
     decode = _shard_map(
         decode_body, mesh,
         in_specs=(param_specs, kv_specs, dpv, P(DP, None), dpv,
@@ -345,5 +378,7 @@ def build_step_fns(args: llama.LlamaArgs, mesh: Mesh, param_specs):
         out_specs=(dpv, kv_specs),
     )
     prefill = jax.jit(prefill, donate_argnums=(1,))
+    prefill_logits = jax.jit(prefill_logits, donate_argnums=(1,))
+    chunk = jax.jit(chunk, donate_argnums=(1,))
     decode = jax.jit(decode, donate_argnums=(1,))
-    return prefill, decode
+    return prefill, decode, chunk, prefill_logits

@@ -35,8 +35,9 @@ logger = init_logger(__name__)
 class TPModelRunner(ModelRunner):
     """ModelRunner whose step functions run under shard_map over ('dp','tp')."""
 
-    # the TP prefill fn does not expose last-token logits yet
-    supports_multi_sample = False
+    # n>1 / best_of>1 prompts: extra candidates host-sampled from the
+    # all-gathered last-token logits (prefill_logits step fn)
+    supports_multi_sample = True
 
     def __init__(
         self,
@@ -67,7 +68,8 @@ class TPModelRunner(ModelRunner):
             max_num_seqs=max_num_seqs, rng_seed=rng_seed,
         )
         self.param_specs = specs
-        self._prefill_fn, self._decode_fn = tpmod.build_step_fns(
+        (self._prefill_fn, self._decode_fn, self._chunk_fn,
+         self._prefill_logits_fn) = tpmod.build_step_fns(
             args, self.mesh, specs
         )
         # multi-host: every host runs the identical (deterministic) scheduler,
@@ -110,12 +112,20 @@ class TPModelRunner(ModelRunner):
     # ------------------------------------------------------------------
     def execute_prefill(self, metadata, cache_engine):
         from qserve_tpu import native
+        from qserve_tpu.worker.model_runner import sample_host
+
+        if any(md.chunk is not None and md.chunk[0] > 0 for md in metadata):
+            # prefix-continuation step (chunked prefill / prefix skip)
+            assert len(metadata) == 1
+            return self._execute_prefill_chunk_tp(metadata[0], cache_engine)
 
         prompts, tables, seq_order, sp_list = [], [], [], []
         total = 0
         for md in metadata:
             for seq_id, data in md.seq_data.items():
                 ids = data.get_token_ids()
+                if md.chunk is not None:  # first chunk of a long prompt
+                    ids = ids[md.chunk[0] : md.chunk[1]]
                 prompts.append(ids)
                 tables.append(md.block_tables[seq_id])
                 total += len(ids)
@@ -131,14 +141,60 @@ class TPModelRunner(ModelRunner):
         from jax.sharding import PartitionSpec as P
 
         dpv = P(tpmod.DP)
-        toks, cache_engine.cache = self._prefill_fn(
+        step_args = (
             self.params, cache_engine.cache,
             *(self._feed(x, dpv) for x in (tok, pos, sg, pg, sl, li)),
             self._feed(temp, dpv), self._feed(topp, dpv), self._feed(topk, dpv),
             self._feed(np.asarray(self._next_key())),
         )
+        self.last_extra_samples = {}
+        if any(sp.best_of > 1 for sp in sp_list):
+            toks, cache_engine.cache, logits = self._prefill_logits_fn(*step_args)
+            logits_np = np.asarray(
+                logits.addressable_data(0) if self.multihost
+                else jax.device_get(logits)
+            )
+            for i, (sid, sp) in enumerate(zip(seq_order, sp_list)):
+                if sp.best_of > 1:
+                    self.last_extra_samples[sid] = sample_host(
+                        logits_np[i], sp, self._host_rng, sp.best_of - 1
+                    )
+        else:
+            toks, cache_engine.cache = self._prefill_fn(*step_args)
         out = self._fetch(toks)
         return [(sid, int(out[i])) for i, sid in enumerate(seq_order)]
+
+    def _execute_prefill_chunk_tp(self, md, cache_engine):
+        """One chunk of one prompt whose prefix KV is already cached, run
+        through the shard_map chunk step."""
+        from qserve_tpu import native
+        from jax.sharding import PartitionSpec as P
+
+        (seq_id, data), = md.seq_data.items()
+        start, end = md.chunk
+        ids = data.get_token_ids()[start:end]
+        table = md.block_tables[seq_id]
+
+        T = bucket(len(ids), 16, self.max_num_batched_tokens * 2)
+        tok, pos, sg, pg, sl, _, li, _ = native.pack_prefill(
+            [ids], [table], self.block_size, T, 1, starts=[start]
+        )
+        bt = np.zeros((1, self.max_pages_per_seq), np.int32)
+        bt[0, : len(table)] = table
+        temp, topp, topk = self._sampling_arrays([md.sampling_params], 1)
+
+        dpv = P(tpmod.DP)
+        self.last_extra_samples = {}
+        toks, cache_engine.cache = self._chunk_fn(
+            self.params, cache_engine.cache,
+            *(self._feed(x, dpv) for x in (tok, pos, sg, pg, sl, li)),
+            self._feed(bt, P(tpmod.DP, None)),
+            self._feed(np.asarray([start], np.int32), dpv),
+            self._feed(temp, dpv), self._feed(topp, dpv), self._feed(topk, dpv),
+            self._feed(np.asarray(self._next_key())),
+        )
+        out = self._fetch(toks)
+        return [(seq_id, int(out[0]))]
 
     def execute_decode(self, metadata, cache_engine):
         from qserve_tpu import native

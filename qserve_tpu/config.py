@@ -169,6 +169,10 @@ class SchedulerConfig:
     # chunks (and skip computed shared prefixes); False restores the
     # reference's behavior of rejecting them (ref scheduler.py:192-201)
     enable_chunked_prefill: bool = True
+    # let a prefill chunk share its step with the running decode batch
+    # (one fused [T+B] stream) so decodes never stall during a multi-chunk
+    # admission; False restores chunk-alone steps
+    mixed_chunk_decode: bool = True
 
 
 @dataclasses.dataclass

@@ -43,6 +43,7 @@ class SchedulerOutputs:
         blocks_to_copy: Dict[int, List[int]],
         ignored_seq_groups: List[SequenceGroup],
         prompt_chunks: Optional[Dict[int, Tuple[int, int]]] = None,
+        decode_groups: Optional[List[SequenceGroup]] = None,
     ) -> None:
         self.scheduled_seq_groups = scheduled_seq_groups
         self.prompt_run = prompt_run
@@ -54,6 +55,9 @@ class SchedulerOutputs:
         # seq_id -> (start, end) prompt span computed this step (chunked
         # prefill / prefix compute-skip); absent = whole prompt
         self.prompt_chunks = prompt_chunks or {}
+        # RUNNING groups decoding in the same step as a prefill chunk
+        # (mixed chunk+decode: the fused [T+B] step fn)
+        self.decode_groups = decode_groups or []
 
     def is_empty(self) -> bool:
         return (
@@ -150,6 +154,21 @@ class Scheduler:
                     block_tables=block_tables,
                     multi_modal_data=group.multi_modal_data,
                     chunk=chunk,
+                )
+            )
+        for group in outputs.decode_groups:
+            seqs = group.get_seqs(SequenceStatus.RUNNING)
+            metadata.append(
+                SequenceGroupMetadata(
+                    request_id=group.request_id,
+                    is_prompt=False,
+                    seq_data={s.seq_id: s.data for s in seqs},
+                    sampling_params=group.sampling_params,
+                    block_tables={
+                        s.seq_id: list(self.block_manager.get_page_table(s))
+                        for s in seqs
+                    },
+                    multi_modal_data=group.multi_modal_data,
                 )
             )
         return metadata, outputs
@@ -275,6 +294,41 @@ class Scheduler:
                     break  # unfinished chunk stays at the queue head
 
             if scheduled or ignored:
+                # a chunk / prefix-continuation step runs one prompt at B=1;
+                # batch the running decode groups into the same step (fused
+                # [T+B] stream) so decodes never stall during the admission
+                decode_groups: List[SequenceGroup] = []
+                if (
+                    scheduled
+                    and self.running
+                    and getattr(
+                        self.scheduler_config, "mixed_chunk_decode", True
+                    )
+                    and len(scheduled) == 1
+                ):
+                    chunk_group = scheduled[0]
+                    seq = next(
+                        s for s in chunk_group.get_seqs()
+                        if not s.is_finished()
+                    )
+                    start, end = prompt_chunks[seq.seq_id]
+                    if start > 0 or end < seq.get_len():
+                        # a FINAL chunk just moved its group into running;
+                        # it must not also decode this step (its next slot
+                        # is appended on the next decode step)
+                        in_running = chunk_group in self.running
+                        if in_running:
+                            self.running.remove(chunk_group)
+                        self._schedule_running(
+                            now, blocks_to_swap_out, blocks_to_copy
+                        )
+                        decode_groups = list(self.running)
+                        if in_running:
+                            self.running.append(chunk_group)
+                        num_batched_tokens += sum(
+                            g.num_seqs(SequenceStatus.RUNNING)
+                            for g in decode_groups
+                        )
                 return SchedulerOutputs(
                     scheduled_seq_groups=scheduled,
                     prompt_run=True,
@@ -284,27 +338,13 @@ class Scheduler:
                     blocks_to_copy=blocks_to_copy,
                     ignored_seq_groups=ignored,
                     prompt_chunks=prompt_chunks,
+                    decode_groups=decode_groups,
                 )
 
         # Phase 2: decode step for running groups; preempt if out of pages.
-        self.running = deque(self.policy.sort_by_priority(now, self.running))
-        running: Deque[SequenceGroup] = deque()
-        preempted: List[SequenceGroup] = []
-        while self.running:
-            group = self.running.popleft()
-            while not self.block_manager.can_append_slot(group):
-                if self.running:
-                    victim = self.running.pop()  # lowest priority
-                    self._preempt(victim, blocks_to_swap_out)
-                    preempted.append(victim)
-                else:
-                    self._preempt(group, blocks_to_swap_out)
-                    preempted.append(group)
-                    break
-            else:
-                self._append_slots(group, blocks_to_copy)
-                running.append(group)
-        self.running = running
+        preempted = self._schedule_running(
+            now, blocks_to_swap_out, blocks_to_copy
+        )
 
         # Phase 3: try to swap preempted groups back in.
         self.swapped = deque(self.policy.sort_by_priority(now, self.swapped))
@@ -342,6 +382,35 @@ class Scheduler:
         )
 
     # ---- helpers ----
+    def _schedule_running(
+        self,
+        now: float,
+        blocks_to_swap_out: Dict[int, int],
+        blocks_to_copy: Dict[int, List[int]],
+    ) -> List[SequenceGroup]:
+        """Decode scheduling for RUNNING groups: append a slot per sequence,
+        preempting lowest-priority groups when pages run out. Leaves the
+        groups decoding this step in self.running; returns the preempted."""
+        self.running = deque(self.policy.sort_by_priority(now, self.running))
+        running: Deque[SequenceGroup] = deque()
+        preempted: List[SequenceGroup] = []
+        while self.running:
+            group = self.running.popleft()
+            while not self.block_manager.can_append_slot(group):
+                if self.running:
+                    victim = self.running.pop()  # lowest priority
+                    self._preempt(victim, blocks_to_swap_out)
+                    preempted.append(victim)
+                else:
+                    self._preempt(group, blocks_to_swap_out)
+                    preempted.append(group)
+                    break
+            else:
+                self._append_slots(group, blocks_to_copy)
+                running.append(group)
+        self.running = running
+        return preempted
+
     def _allocate(self, group: SequenceGroup) -> None:
         self.block_manager.allocate(group)
         for seq in group.get_seqs(SequenceStatus.WAITING):

@@ -167,6 +167,8 @@ class LLMEngine:
         results = self.worker.execute_model(metadata, sched)
         if sched.prompt_run:
             for md in metadata:
+                if not md.is_prompt:
+                    continue  # decode rows riding in a mixed chunk step
                 for data in md.seq_data.values():
                     if md.chunk is not None:
                         self._num_prompt_tokens += md.chunk[1] - md.chunk[0]

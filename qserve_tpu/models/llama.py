@@ -540,6 +540,84 @@ def prefill_chunk(
     return logits, kv
 
 
+def prefill_chunk_with_decode(
+    params: LlamaParams,
+    kv: kvc.KVCache,
+    token_ids: jax.Array,  # [T] int32, ONE prompt's chunk (0-padded tail)
+    positions: jax.Array,  # [T] int32 absolute positions (>= start)
+    segment_ids: jax.Array,  # [T] int32, 0 = padding
+    page_ids: jax.Array,  # [T] int32 destination page (-1 = drop)
+    slots: jax.Array,  # [T] int32
+    last_token_idx: jax.Array,  # [1] int32
+    chunk_tables: jax.Array,  # [1, maxP] int32 — the chunk's cached prefix
+    prefix_len: jax.Array,  # [] int32
+    d_token_ids: jax.Array,  # [B] int32 decode batch current tokens
+    d_block_tables: jax.Array,  # [B, maxP] int32
+    d_context_lens: jax.Array,  # [B] int32 incl. current token; 0 = pad row
+    args: LlamaArgs,
+) -> Tuple[jax.Array, kvc.KVCache]:
+    """One prefill chunk AND a decode batch in a single fused step.
+
+    The chunk's [T] tokens and the decode batch's [B] tokens run as one
+    packed [T+B] stream through every GEMM — the chunk already streams the
+    full weights through the MXU, so the decode rows ride along nearly free
+    and running sequences keep generating while a long prompt admits
+    (the reference schedules prompt steps exclusively, scheduler.py:279-285,
+    stalling decodes for the whole admission). Attention splits by row span:
+    rows [:T] take the prefix-chunk kernel, rows [T:] the paged decode
+    kernel. Returns (logits [1+B, V], kv): row 0 = chunk last token (only
+    meaningful on the final chunk), rows 1: = decode rows.
+    """
+    T = token_ids.shape[0]
+    ps = kv.page_size
+    d_positions = d_context_lens - 1  # [B]; -1 on pad rows (inactive)
+    active = d_context_lens > 0
+    logical_page = jnp.where(active, d_positions // ps, 0)
+    d_page_ids = jnp.where(
+        active,
+        jnp.take_along_axis(d_block_tables, logical_page[:, None], axis=1)[:, 0],
+        -1,
+    )
+    d_slots = jnp.where(active, d_positions % ps, 0)
+
+    h = params.embed[
+        jnp.concatenate([token_ids, d_token_ids])
+    ].astype(jnp.bfloat16)
+    cos, sin = rope.rope_cos_sin(
+        jnp.concatenate([positions, d_positions]), args.head_dim,
+        args.rope_theta,
+    )
+
+    def attend(q, k, v, li):
+        oc = attention.prefix_prefill_attention(
+            q[:T], k[:T], v[:T], segment_ids, positions, kv, chunk_tables,
+            prefix_len, li, args.quant.kv_bits,
+            sliding_window=args.sliding_window,
+        )
+        od = attention.paged_decode_attention(
+            q[T:], kv, d_block_tables, d_context_lens, li, k[T:], v[T:],
+            args.quant.kv_bits, sliding_window=args.sliding_window,
+        )
+        return jnp.concatenate([oc, od], axis=0)
+
+    h, (k_all, v_all) = _run_layers(params, h, cos, sin, args, attend)
+    # chunk rows: page-aligned staged full-page writes; decode rows: one
+    # token per exclusively-owned page (RMW scatter kernel)
+    kv = kvc.append_all_layers(
+        kv, k_all[:, :T], v_all[:, :T], page_ids, slots,
+        args.quant.kv_bits, args.quant.kv_zero_point,
+        max_stages=T // ps + 2,
+    )
+    kv = kvc.append_all_layers(
+        kv, k_all[:, T:], v_all[:, T:], d_page_ids, d_slots,
+        args.quant.kv_bits, args.quant.kv_zero_point, unique_pages=True,
+    )
+    h_sel = jnp.concatenate([h[last_token_idx], h[T:]], axis=0)  # [1+B, E]
+    h_sel = ops.rmsnorm(h_sel, params.final_ln, args.rms_eps)
+    logits = _lm_head(h_sel, params, args)
+    return logits, kv
+
+
 def decode(
     params: LlamaParams,
     kv: kvc.KVCache,

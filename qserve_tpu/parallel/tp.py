@@ -347,6 +347,19 @@ def build_step_fns(args: llama.LlamaArgs, mesh: Mesh, param_specs):
         toks = sampler_mod.sample(logits, temp, topp, topk, _key_for_shard(key))
         return toks, kv
 
+    def chunk_decode_body(params, kv, tok, pos, seg, pages, slots, last_idx,
+                          bt, prefix_len, d_tok, d_bt, d_ctx,
+                          temp, topp, topk, key):
+        """Mixed step: one prefill chunk + the running decode batch fused
+        into a single [T+B] stream (decodes keep generating during a long
+        admission)."""
+        logits, kv = llama.prefill_chunk_with_decode(
+            params, kv, tok, pos, seg, pages, slots, last_idx, bt,
+            prefix_len.reshape(()), d_tok, d_bt, d_ctx, args,
+        )
+        toks = sampler_mod.sample(logits, temp, topp, topk, _key_for_shard(key))
+        return toks, kv
+
     def decode_body(params, kv, tok, bt, ctx, temp, topp, topk, key):
         logits, kv = llama.decode(params, kv, tok, bt, ctx, args)
         toks = sampler_mod.sample(logits, temp, topp, topk, _key_for_shard(key))
@@ -371,6 +384,13 @@ def build_step_fns(args: llama.LlamaArgs, mesh: Mesh, param_specs):
                   P(DP, None), dpv, dpv, dpv, dpv, P()),
         out_specs=(dpv, kv_specs),
     )
+    chunk_decode = _shard_map(
+        chunk_decode_body, mesh,
+        in_specs=(param_specs, kv_specs, dpv, dpv, dpv, dpv, dpv, dpv,
+                  P(DP, None), dpv, dpv, P(DP, None), dpv,
+                  dpv, dpv, dpv, P()),
+        out_specs=(dpv, kv_specs),
+    )
     decode = _shard_map(
         decode_body, mesh,
         in_specs=(param_specs, kv_specs, dpv, P(DP, None), dpv,
@@ -380,5 +400,6 @@ def build_step_fns(args: llama.LlamaArgs, mesh: Mesh, param_specs):
     prefill = jax.jit(prefill, donate_argnums=(1,))
     prefill_logits = jax.jit(prefill_logits, donate_argnums=(1,))
     chunk = jax.jit(chunk, donate_argnums=(1,))
+    chunk_decode = jax.jit(chunk_decode, donate_argnums=(1,))
     decode = jax.jit(decode, donate_argnums=(1,))
-    return prefill, decode, chunk, prefill_logits
+    return prefill, decode, chunk, prefill_logits, chunk_decode

@@ -74,6 +74,22 @@ def _prefill_chunk_step(
 @functools.partial(
     jax.jit, static_argnames=("args",), donate_argnames=("kv",)
 )
+def _chunk_decode_step(
+    params, kv, tok, pos, seg, pages, slots, last_idx, bt, prefix_len,
+    d_tok, d_bt, d_ctx, temp, topp, topk, key, *, args
+):
+    """Fused mixed step: one prefill chunk + the running decode batch."""
+    logits, kv = llama.prefill_chunk_with_decode(
+        params, kv, tok, pos, seg, pages, slots, last_idx, bt, prefix_len,
+        d_tok, d_bt, d_ctx, args,
+    )
+    toks = sampler_mod.sample(logits, temp, topp, topk, key)
+    return toks, kv
+
+
+@functools.partial(
+    jax.jit, static_argnames=("args",), donate_argnames=("kv",)
+)
 def _decode_step(
     params, kv, tok, block_tables, context_lens, temp, topp, topk, key, *, args
 ):
@@ -270,6 +286,63 @@ class ModelRunner:
         )
         out = np.asarray(jax.device_get(toks))
         return [(seq_id, int(out[0]))]
+
+    # ------------------------------------------------------------------
+    def execute_chunk_with_decode(
+        self,
+        chunk_md: SequenceGroupMetadata,
+        decode_mds: List[SequenceGroupMetadata],
+        cache_engine,
+    ) -> List[Tuple[int, int]]:
+        """Mixed step: one prefill chunk + the running decode batch, fused
+        into a single [T+B] forward so running sequences keep generating
+        while a long prompt admits."""
+        from qserve_tpu import native
+
+        (seq_id, data), = chunk_md.seq_data.items()
+        start, end = chunk_md.chunk
+        ids = data.get_token_ids()[start:end]
+        table = chunk_md.block_tables[seq_id]
+
+        T = bucket(len(ids), 16, self.max_num_batched_tokens * 2)
+        tok, pos, sg, pg, sl, _, li, _ = native.pack_prefill(
+            [ids], [table], self.block_size, T, 1, starts=[start]
+        )
+        bt = np.zeros((1, self.max_pages_per_seq), np.int32)
+        bt[0, : len(table)] = table
+
+        d_order, d_tokens, d_ctx, d_tables, d_sps = [], [], [], [], []
+        for md in decode_mds:
+            for sid, d in md.seq_data.items():
+                d_order.append(sid)
+                d_tokens.append(d.get_last_token_id())
+                d_ctx.append(d.get_len())
+                d_tables.append(md.block_tables[sid])
+                d_sps.append(md.sampling_params)
+        B = bucket(len(d_order), 1, self.max_num_seqs)
+        d_tok, d_cl, d_bt = native.pack_decode(
+            d_tokens, d_ctx, d_tables, B, self.max_pages_per_seq
+        )
+        temp, topp, topk = self._sampling_arrays(
+            [chunk_md.sampling_params] + d_sps, 1 + B
+        )
+
+        self.last_extra_samples = {}
+        self._prev_order = None  # decode batch advanced outside _decode_step
+        toks, cache_engine.cache = _chunk_decode_step(
+            self.params,
+            cache_engine.cache,
+            *map(jnp.asarray, (tok, pos, sg, pg, sl, li)),
+            jnp.asarray(bt), jnp.int32(start),
+            *map(jnp.asarray, (d_tok, d_bt, d_cl)),
+            temp, topp, topk,
+            self._next_key(),
+            args=self.model_args,
+        )
+        out = np.asarray(jax.device_get(toks))
+        return [(seq_id, int(out[0]))] + [
+            (sid, int(out[1 + i])) for i, sid in enumerate(d_order)
+        ]
 
     # ------------------------------------------------------------------
     def execute_decode(

@@ -69,7 +69,7 @@ class TPModelRunner(ModelRunner):
         )
         self.param_specs = specs
         (self._prefill_fn, self._decode_fn, self._chunk_fn,
-         self._prefill_logits_fn) = tpmod.build_step_fns(
+         self._prefill_logits_fn, self._chunk_decode_fn) = tpmod.build_step_fns(
             args, self.mesh, specs
         )
         # multi-host: every host runs the identical (deterministic) scheduler,
@@ -195,6 +195,56 @@ class TPModelRunner(ModelRunner):
         )
         out = self._fetch(toks)
         return [(seq_id, int(out[0]))]
+
+    def execute_chunk_with_decode(self, chunk_md, decode_mds, cache_engine):
+        """Mixed step (one prefill chunk + decode batch) under shard_map."""
+        from qserve_tpu import native
+        from jax.sharding import PartitionSpec as P
+
+        (seq_id, data), = chunk_md.seq_data.items()
+        start, end = chunk_md.chunk
+        ids = data.get_token_ids()[start:end]
+        table = chunk_md.block_tables[seq_id]
+
+        T = bucket(len(ids), 16, self.max_num_batched_tokens * 2)
+        tok, pos, sg, pg, sl, _, li, _ = native.pack_prefill(
+            [ids], [table], self.block_size, T, 1, starts=[start]
+        )
+        bt = np.zeros((1, self.max_pages_per_seq), np.int32)
+        bt[0, : len(table)] = table
+
+        d_order, d_tokens, d_ctx, d_tables, d_sps = [], [], [], [], []
+        for md in decode_mds:
+            for sid, d in md.seq_data.items():
+                d_order.append(sid)
+                d_tokens.append(d.get_last_token_id())
+                d_ctx.append(d.get_len())
+                d_tables.append(md.block_tables[sid])
+                d_sps.append(md.sampling_params)
+        B = bucket(len(d_order), 1, self.max_num_seqs)
+        d_tok, d_cl, d_bt = native.pack_decode(
+            d_tokens, d_ctx, d_tables, B, self.max_pages_per_seq
+        )
+        temp, topp, topk = self._sampling_arrays(
+            [chunk_md.sampling_params] + d_sps, 1 + B
+        )
+
+        dpv = P(tpmod.DP)
+        self.last_extra_samples = {}
+        toks, cache_engine.cache = self._chunk_decode_fn(
+            self.params, cache_engine.cache,
+            *(self._feed(x, dpv) for x in (tok, pos, sg, pg, sl, li)),
+            self._feed(bt, P(tpmod.DP, None)),
+            self._feed(np.asarray([start], np.int32), dpv),
+            self._feed(d_tok, dpv), self._feed(d_bt, P(tpmod.DP, None)),
+            self._feed(d_cl, dpv),
+            self._feed(temp, dpv), self._feed(topp, dpv), self._feed(topk, dpv),
+            self._feed(np.asarray(self._next_key())),
+        )
+        out = self._fetch(toks)
+        return [(seq_id, int(out[0]))] + [
+            (sid, int(out[1 + i])) for i, sid in enumerate(d_order)
+        ]
 
     def execute_decode(self, metadata, cache_engine):
         from qserve_tpu import native

@@ -144,8 +144,18 @@ class Worker:
         if not seq_group_metadata_list:
             return []
         if scheduler_outputs.prompt_run:
+            prompt_mds = [md for md in seq_group_metadata_list if md.is_prompt]
+            decode_mds = [
+                md for md in seq_group_metadata_list if not md.is_prompt
+            ]
+            if decode_mds:
+                # mixed step: one prefill chunk + the running decode batch
+                assert len(prompt_mds) == 1
+                return self.model_runner.execute_chunk_with_decode(
+                    prompt_mds[0], decode_mds, self.cache_engine
+                )
             return self.model_runner.execute_prefill(
-                seq_group_metadata_list, self.cache_engine
+                prompt_mds, self.cache_engine
             )
         return self.model_runner.execute_decode(
             seq_group_metadata_list, self.cache_engine

@@ -394,6 +394,83 @@ class TestChunkedPrefill:
         for r in ("short1", "long", "short2"):
             assert len(outputs[r].outputs[0]["token_ids"]) == 4
 
+    def test_decodes_ride_along_with_chunk_steps(self):
+        """While a long prompt admits over multiple chunk steps, already-
+        running sequences must keep generating EVERY step (fused chunk+
+        decode batch — the reference stalls decodes for the whole prompt
+        admission, ref scheduler.py:279-285)."""
+        engine = build_engine(pages=64, max_tokens=64, max_len=256)
+        engine.add_request(
+            "run", prompt_token_ids=[3, 1, 4],
+            sampling_params=SamplingParams(max_tokens=40, temperature=0.0,
+                                           ignore_eos=True),
+        )
+        engine.step()  # prefill "run"; it decodes from here on
+        (run_group, run_seq), = [engine._seq_index[s] for s in [0]]
+        long_prompt = [(i * 5 + 1) % 128 for i in range(150)]  # 3 chunks @64
+        engine.add_request(
+            "long", prompt_token_ids=long_prompt,
+            sampling_params=SamplingParams(max_tokens=4, temperature=0.0,
+                                           ignore_eos=True),
+        )
+        chunk_steps = 0
+        outputs = {}
+        steps = 0
+        while engine.has_unfinished_requests() and steps < 100:
+            before = run_seq.get_output_len()
+            done_before = run_seq.is_finished()
+            for out in engine.step():
+                if out.finished:
+                    outputs[out.request_id] = out
+            steps += 1
+            if not done_before and "long" not in outputs and engine.scheduler.waiting:
+                chunk_steps += 1
+                # the running sequence generated a token during this
+                # chunk step — no decode gap
+                assert run_seq.get_output_len() == before + 1, (
+                    f"decode stalled during chunk step {steps}"
+                )
+        assert chunk_steps >= 2, "admission did not span multiple chunk steps"
+        assert len(outputs["run"].outputs[0]["token_ids"]) == 40
+        assert len(outputs["long"].outputs[0]["token_ids"]) == 4
+        assert engine.scheduler.block_manager.get_num_free_device_pages() == 64
+
+    def test_chunked_with_decodes_greedy_parity(self):
+        """Mixed chunk+decode steps must not perturb either stream: greedy
+        outputs match a run where the long prompt is admitted unchunked
+        after the short one finishes."""
+        long_prompt = [(7 * i + 3) % 128 for i in range(150)]
+
+        ref_eng = build_engine(pages=64, max_tokens=512, max_len=256)
+        ref_eng.add_request(
+            "s", prompt_token_ids=[9, 2, 6],
+            sampling_params=SamplingParams(max_tokens=24, temperature=0.0,
+                                           ignore_eos=True),
+        )
+        ref_s, _ = run_to_completion(ref_eng)
+        ref_eng.add_request(
+            "l", prompt_token_ids=long_prompt,
+            sampling_params=SamplingParams(max_tokens=8, temperature=0.0,
+                                           ignore_eos=True),
+        )
+        ref_l, _ = run_to_completion(ref_eng)
+
+        eng = build_engine(pages=64, max_tokens=64, max_len=256)
+        eng.add_request(
+            "s", prompt_token_ids=[9, 2, 6],
+            sampling_params=SamplingParams(max_tokens=24, temperature=0.0,
+                                           ignore_eos=True),
+        )
+        eng.step()  # "s" starts decoding, then "l" chunks in alongside
+        eng.add_request(
+            "l", prompt_token_ids=long_prompt,
+            sampling_params=SamplingParams(max_tokens=8, temperature=0.0,
+                                           ignore_eos=True),
+        )
+        got, _ = run_to_completion(eng)
+        assert got["s"].outputs[0]["token_ids"] == ref_s["s"].outputs[0]["token_ids"]
+        assert got["l"].outputs[0]["token_ids"] == ref_l["l"].outputs[0]["token_ids"]
+
     def test_prefix_compute_skip(self):
         """Second request sharing a computed prefix: identical output AND
         measurably fewer prompt tokens computed."""

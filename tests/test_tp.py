@@ -72,7 +72,7 @@ def run_tp(args, fp, tokens, dp=1):
         args.head_dim, args.quant.kv_bits,
     )
     cache = tpmod.shard_kv_cache(cache, mesh)
-    prefill_fn, decode_fn, _, _ = tpmod.build_step_fns(args, mesh, specs)
+    prefill_fn, decode_fn, *_ = tpmod.build_step_fns(args, mesh, specs)
 
     T = 16  # per dp replica
     n = len(tokens)

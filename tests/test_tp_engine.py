@@ -144,6 +144,40 @@ class TestTPChunkedPrefill:
         assert g == r
         assert small.scheduler.block_manager.get_num_free_device_pages() == 32
 
+    def test_tp_decodes_ride_along_with_chunk_steps(self):
+        """Mixed chunk+decode steps through the shard_map fused step fn:
+        a running sequence keeps generating while a long prompt chunks in."""
+        engine = _tp_engine(num_pages=32, max_len=96, max_tokens=32)
+        engine.add_request(
+            "run", prompt_token_ids=[3, 1, 4],
+            sampling_params=SamplingParams(max_tokens=16, temperature=0.0,
+                                           ignore_eos=True),
+        )
+        engine.step()
+        run_seq = engine._seq_index[0][1]
+        engine.add_request(
+            "long", prompt_token_ids=[(i * 5 + 1) % 128 for i in range(72)],
+            sampling_params=SamplingParams(max_tokens=4, temperature=0.0,
+                                           ignore_eos=True),
+        )
+        outs, chunk_steps = [], 0
+        steps = 0
+        while engine.has_unfinished_requests() and steps < 60:
+            before = run_seq.get_output_len()
+            done_before = run_seq.is_finished()
+            outs.extend(engine.step())
+            steps += 1
+            if not done_before and engine.scheduler.waiting:
+                chunk_steps += 1
+                assert run_seq.get_output_len() == before + 1, (
+                    f"decode stalled during TP chunk step {steps}"
+                )
+        assert chunk_steps >= 1
+        done = {o.request_id: o for o in outs if o.finished}
+        assert len(done["run"].outputs[0]["token_ids"]) == 16
+        assert len(done["long"].outputs[0]["token_ids"]) == 4
+        assert engine.scheduler.block_manager.get_num_free_device_pages() == 32
+
     def test_tp_n2_greedy_matches_single(self):
         """Greedy n=2 on the TP engine: both candidates must equal the n=1
         result (host-sampled extra candidates from all-gathered logits)."""

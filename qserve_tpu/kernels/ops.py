@@ -217,3 +217,103 @@ def matmul(x: jax.Array, w: jax.Array, out_dtype=None) -> jax.Array:
     return jax.lax.dot_general(
         x, w, (((x.ndim - 1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     ).astype(out_dtype)
+
+
+# ---------------------------------------------------------------------------
+# Routed (grouped) MoE GEMMs — per-M-block expert indices
+# ---------------------------------------------------------------------------
+
+
+def _gather_block_idx(arr: jax.Array, block_idx: jax.Array) -> jax.Array:
+    """Stacked operand [..., lead dims ..., *rest] -> per-block slices
+    [nb, *rest] via the [nb, d] leading-index array (XLA fallback only —
+    the Pallas kernels index the stacked arrays in place)."""
+    nb, d = block_idx.shape
+    for i in range(d):
+        take = block_idx[:, i]
+        if i == 0:
+            arr = arr[take]  # [nb, ...]
+        else:
+            arr = jnp.take_along_axis(
+                arr, take.reshape((nb,) + (1,) * (arr.ndim - 1)), axis=1
+            )[:, 0]
+    return arr
+
+
+def w4a8_gemm_per_chn_routed(
+    a_i8: jax.Array,  # [M, K] sorted+padded token stream; M % nb == 0
+    a_scale: jax.Array,
+    a_sum: jax.Array,
+    qweight_packed: jax.Array,  # [(L,) n_exp, K//2, N]
+    s1_scale: jax.Array,
+    s1_szero: jax.Array,
+    block_idx: jax.Array,  # int32 [nb, d]: block m's ((layer,) expert)
+    out_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """Grouped per-channel W4A8 GEMM: each M block multiplies ONE expert's
+    weights (MoE routed dispatch) — FLOPs and weight DMA scale with top_k."""
+    fn = _impl("w4a8_gemm_per_chn_routed")
+    if fn is not None:
+        out = fn(a_i8, a_scale, a_sum, qweight_packed, s1_scale, s1_szero,
+                 block_idx, out_dtype)
+        if out is not None:
+            return out
+    nb = block_idx.shape[0]
+    M, K = a_i8.shape
+    bm = M // nb
+    w = packing.unpack_w4(_gather_block_idx(qweight_packed, block_idx))
+    s1 = _gather_block_idx(s1_scale, block_idx)  # [nb, N]
+    sz = _gather_block_idx(s1_szero, block_idx)
+    psum = jax.lax.dot_general(
+        a_i8.reshape(nb, bm, K), w,
+        (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)  # [nb, bm, N]
+    out = (
+        psum * s1[:, None, :] * a_scale.reshape(nb, bm, 1)
+        - sz[:, None, :] * a_sum.reshape(nb, bm, 1)
+    )
+    return out.reshape(M, -1).astype(out_dtype)
+
+
+def w8a8_gemm_routed(
+    a_i8: jax.Array,
+    a_scale: jax.Array,
+    qweight: jax.Array,  # [(L,) n_exp, K, N]
+    w_scale: jax.Array,
+    block_idx: jax.Array,  # int32 [nb, d]
+    out_dtype=jnp.bfloat16,
+) -> jax.Array:
+    fn = _impl("w8a8_gemm_routed")
+    if fn is not None:
+        out = fn(a_i8, a_scale, qweight, w_scale, block_idx, out_dtype)
+        if out is not None:
+            return out
+    nb = block_idx.shape[0]
+    M, K = a_i8.shape
+    bm = M // nb
+    w = _gather_block_idx(qweight, block_idx)  # [nb, K, N]
+    ws = _gather_block_idx(w_scale, block_idx)  # [nb, N]
+    psum = jax.lax.dot_general(
+        a_i8.reshape(nb, bm, K), w,
+        (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    out = psum * ws[:, None, :] * a_scale.reshape(nb, bm, 1)
+    return out.reshape(M, -1).astype(out_dtype)
+
+
+def matmul_routed(
+    x: jax.Array,  # [M, K] bf16 sorted+padded token stream
+    w: jax.Array,  # [(L,) n_exp, K, N] bf16
+    block_idx: jax.Array,  # int32 [nb, d]
+    out_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """Routed w16a16 expert GEMM (per-block weight gather + batched dot)."""
+    nb = block_idx.shape[0]
+    M, K = x.shape
+    bm = M // nb
+    wb = _gather_block_idx(w, block_idx)  # [nb, K, N]
+    out = jax.lax.dot_general(
+        x.reshape(nb, bm, K), wb,
+        (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32,
+    )
+    return out.reshape(M, -1).astype(out_dtype)

@@ -116,16 +116,20 @@ def _w4a8_chn_kernel(a_ref, w_ref, s1_ref, sz_ref, as_ref, asum_ref,
         out_ref[:] = out.astype(out_ref.dtype)
 
 
-def _ix_maps(idx, lead: int):
+def _ix_maps(idx, lead: int, per_block: bool = False):
     """Index-map builders for (stacked, plain) operands of a (m, n, k) grid.
 
     Stacked operands prepend `lead` indices read from the scalar-prefetched
-    idx ref (layer / expert); plain operands ignore the prefetch refs."""
+    idx ref (layer / expert); plain operands ignore the prefetch refs.
+    per_block=True: idx is [nb, lead] and row m supplies block m's leading
+    indices (routed MoE: each M block belongs to one expert)."""
 
     def ix(t_map):
         def f(m, n, k, *refs):
             if idx is None:
                 return t_map(m, n, k)
+            if per_block:
+                return tuple(refs[0][m, i] for i in range(lead)) + t_map(m, n, k)
             return tuple(refs[0][i] for i in range(lead)) + t_map(m, n, k)
 
         return f
@@ -140,13 +144,14 @@ def _ix_maps(idx, lead: int):
 
 
 def _maybe_stacked_call(kernel, grid, in_specs, out_spec, out_shape, scratch,
-                        cost, operands, idx):
+                        cost, operands, idx, per_block: bool = False):
     """pallas_call that scalar-prefetches stacked-operand indices when given.
 
-    idx: None (plain operands) or an int32 [d] array of leading indices into
-    stacked operands (e.g. [layer] or [layer, expert]); in_specs entries are
-    (block, index_map_fn) where stacked operands' index maps already consume
-    `d` leading indices from the prefetched ref.
+    idx: None (plain operands), an int32 [d] array of leading indices into
+    stacked operands (e.g. [layer] or [layer, expert]), or — per_block=True —
+    an int32 [nb, d] array giving each M block its own leading indices;
+    in_specs entries are (block, index_map_fn) where stacked operands' index
+    maps already consume the prefetched ref accordingly.
     """
     if idx is None:
         grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -161,7 +166,8 @@ def _maybe_stacked_call(kernel, grid, in_specs, out_spec, out_shape, scratch,
             in_specs=in_specs, out_specs=out_spec,
             scratch_shapes=scratch,
         )
-        args = (jnp.asarray(idx, jnp.int32).reshape(-1), *operands)
+        idx = jnp.asarray(idx, jnp.int32)
+        args = (idx if per_block else idx.reshape(-1), *operands)
         inner = kernel
         kernel = lambda idx_ref, *refs: inner(*refs)  # idx only feeds index maps
     return pl.pallas_call(
@@ -572,3 +578,129 @@ def w8a8_gemm_pallas(a_i8, a_scale, qweight, w_scale, out_dtype=jnp.bfloat16,
 @register_pallas("w8a8_gemm")
 def _w8a8_dispatch(a_i8, a_scale, qw, ws, out_dtype, idx=None):
     return w8a8_gemm_pallas(a_i8, a_scale, qw, ws, out_dtype, idx)
+
+
+# ---------------------------------------------------------------------------
+# Routed (grouped) MoE GEMMs: per-M-block expert indices
+# ---------------------------------------------------------------------------
+#
+# MegaBlocks-style grouped GEMM for the MoE prefill dispatch
+# (models/llama.py::_moe_mlp_routed): tokens arrive sorted by expert and
+# padded so each bm-row block belongs to exactly ONE expert; block_idx[m]
+# carries that block's leading stacked indices ((layer,) expert). Same
+# kernels as the dense path — only the weight-block index maps change, so
+# FLOPs and weight DMA scale with top_k instead of num_experts (the
+# reference's unreleased moe_helpers would run a torch grouped GEMM here,
+# ref mixtral_w4a8_unpad.py:288).
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype",))
+def w4a8_gemm_per_chn_routed_pallas(
+    a_i8, a_scale, a_sum, qweight_packed, s1_scale, s1_szero, block_idx,
+    out_dtype=jnp.bfloat16,
+):
+    """block_idx: int32 [nb, d] per-M-block leading indices; M % nb == 0."""
+    M, K = a_i8.shape
+    N = qweight_packed.shape[-1]
+    nb, lead = block_idx.shape
+    assert lead == qweight_packed.ndim - 2
+    assert M % nb == 0
+    bm = M // nb
+    K2 = K // 2
+    bn = _pick_bn(N)
+    bk2 = _pick_bk2(K2, bn)
+    nk = K2 // bk2
+    grid = (nb, N // bn, nk)
+    lead1 = (1,) * lead
+    ix, ix_plain = _ix_maps(block_idx, lead, per_block=True)
+
+    in_specs = [
+        pl.BlockSpec((bm, K), ix_plain(lambda m, n, k: (m, 0)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(lead1 + (bk2, bn), ix(lambda m, n, k: (k, n)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(lead1 + (1, bn), ix(lambda m, n, k: (0, n)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(lead1 + (1, bn), ix(lambda m, n, k: (0, n)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bm, 1), ix_plain(lambda m, n, k: (m, 0)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bm, 1), ix_plain(lambda m, n, k: (m, 0)),
+                     memory_space=pltpu.VMEM),
+    ]
+    s1 = s1_scale.reshape(*s1_scale.shape[:lead], 1, N)
+    sz = s1_szero.reshape(*s1_szero.shape[:lead], 1, N)
+    return _maybe_stacked_call(
+        functools.partial(_w4a8_chn_kernel, nk=nk, bk2=bk2, k_half=K2,
+                          lead=lead),
+        grid, in_specs,
+        pl.BlockSpec((bm, bn), ix_plain(lambda m, n, k: (m, n)),
+                     memory_space=pltpu.VMEM),
+        jax.ShapeDtypeStruct((M, N), out_dtype),
+        [pltpu.VMEM((bm, bn), jnp.int32)],
+        pl.CostEstimate(
+            flops=2 * M * N * K,
+            bytes_accessed=M * K + nb * (K * N // 2) + M * N * 2,
+            transcendentals=0,
+        ),
+        (a_i8, qweight_packed, s1, sz,
+         a_scale.reshape(M, 1), a_sum.reshape(M, 1)),
+        block_idx, per_block=True,
+    )
+
+
+@register_pallas("w4a8_gemm_per_chn_routed")
+def _w4a8_chn_routed_dispatch(a_i8, a_scale, a_sum, qw, s1, sz, block_idx,
+                              out_dtype):
+    return w4a8_gemm_per_chn_routed_pallas(
+        a_i8, a_scale, a_sum, qw, s1, sz, block_idx, out_dtype
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype",))
+def w8a8_gemm_routed_pallas(a_i8, a_scale, qweight, w_scale, block_idx,
+                            out_dtype=jnp.bfloat16):
+    M, K = a_i8.shape
+    N = qweight.shape[-1]
+    nb, lead = block_idx.shape
+    assert lead == qweight.ndim - 2
+    assert M % nb == 0
+    bm = M // nb
+    bn = _pick_bn(N)
+    bk = _pick_bk2(K, bn)
+    nk = K // bk
+    grid = (nb, N // bn, nk)
+    lead1 = (1,) * lead
+    ix, ix_plain = _ix_maps(block_idx, lead, per_block=True)
+
+    in_specs = [
+        pl.BlockSpec((bm, K), ix_plain(lambda m, n, k: (m, 0)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(lead1 + (bk, bn), ix(lambda m, n, k: (k, n)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(lead1 + (1, bn), ix(lambda m, n, k: (0, n)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bm, 1), ix_plain(lambda m, n, k: (m, 0)),
+                     memory_space=pltpu.VMEM),
+    ]
+    ws = w_scale.reshape(*w_scale.shape[:lead], 1, N)
+    return _maybe_stacked_call(
+        functools.partial(_w8a8_kernel, nk=nk, bk=bk, lead=lead),
+        grid, in_specs,
+        pl.BlockSpec((bm, bn), ix_plain(lambda m, n, k: (m, n)),
+                     memory_space=pltpu.VMEM),
+        jax.ShapeDtypeStruct((M, N), out_dtype),
+        [pltpu.VMEM((bm, bn), jnp.int32)],
+        pl.CostEstimate(
+            flops=2 * M * N * K,
+            bytes_accessed=M * K + nb * K * N + M * N * 2,
+            transcendentals=0,
+        ),
+        (a_i8, qweight, ws, a_scale.reshape(M, 1)),
+        block_idx, per_block=True,
+    )
+
+
+@register_pallas("w8a8_gemm_routed")
+def _w8a8_routed_dispatch(a_i8, a_scale, qw, ws, block_idx, out_dtype):
+    return w8a8_gemm_routed_pallas(a_i8, a_scale, qw, ws, block_idx, out_dtype)

@@ -92,6 +92,39 @@ def apply_linear(
     raise TypeError(f"unknown linear params {type(p)}")
 
 
+def supports_routed(p: LinearParams) -> bool:
+    """Can apply_linear_routed run this flavor? (W4Grp keeps the masked
+    dense path: the two-level s2/z2 ladder has no grouped kernel yet.)"""
+    return isinstance(p, (W4ChnLinear, W8Linear, W16Linear))
+
+
+def apply_linear_routed(
+    p: LinearParams,
+    x: Union[QuantAct, jax.Array],
+    block_idx: jax.Array,  # int32 [nb, d]: M block m's ((layer,) expert)
+    out_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """Grouped MoE expert GEMM over a sorted+padded [M, K] token stream:
+    each M/nb-row block multiplies ONE expert's weights (block_idx[m]).
+    FLOPs scale with top_k instead of num_experts (the reference's
+    unreleased moe_helpers grouped GEMM, ref mixtral_w4a8_unpad.py:288)."""
+    if isinstance(p, W16Linear):
+        assert isinstance(x, jax.Array), "w16 path takes fp activations"
+        return ops.matmul_routed(x, p.weight, block_idx, out_dtype)
+    assert isinstance(x, QuantAct), "quantized path takes QuantAct"
+    if isinstance(p, W4ChnLinear):
+        assert x.asum is not None
+        return ops.w4a8_gemm_per_chn_routed(
+            x.q, x.scale, x.asum, p.qweight, p.s1_scale, p.s1_szero,
+            block_idx, out_dtype,
+        )
+    if isinstance(p, W8Linear):
+        return ops.w8a8_gemm_routed(
+            x.q, x.scale, p.qweight, p.scale, block_idx, out_dtype
+        )
+    raise TypeError(f"no routed path for {type(p)}")
+
+
 def quantize_linear_from_float(
     w: jax.Array, weight_bits: int, group_size: int = -1
 ) -> LinearParams:

@@ -56,6 +56,13 @@ class LlamaArgs:
     # Sparse MoE (Mixtral): 0 = dense MLP
     num_experts: int = 0
     moe_top_k: int = 2
+    # Token streams at least this long take the routed (grouped-GEMM) MoE
+    # dispatch — prefill FLOPs scale with top_k instead of num_experts.
+    # Shorter streams (decode) keep the masked dense path: decode is
+    # expert-weight-streaming-bound, where dense loses no wall-clock.
+    moe_route_min_tokens: int = 1024
+    # Row-block size of the routed dispatch (each block runs one expert)
+    moe_route_block: int = 256
     # Tensor parallelism: when tp_size > 1 the step functions run under
     # shard_map over a mesh axis named `tp_axis`; per-device arrays hold
     # 1/tp of the heads / MLP channels / vocab columns.
@@ -381,6 +388,15 @@ def _moe_mlp(lp: MoELayerParams, h: jax.Array, args: LlamaArgs,
     for k in range(args.moe_top_k):
         combine += jax.nn.one_hot(topi[:, k], n_exp, dtype=jnp.float32) * topv[:, k : k + 1]
 
+    if (
+        T >= args.moe_route_min_tokens
+        and lin.supports_routed(lp.gate_up)
+        and lin.supports_routed(lp.down)
+    ):
+        return _moe_routed_ffn(
+            lp, x, topv, topi, args, int8_act, li=li, stacked=stacked
+        )
+
     if int8_act:
         qx = _quant_act(x, lin.needs_act_sum(lp.gate_up))
 
@@ -399,6 +415,82 @@ def _moe_mlp(lp: MoELayerParams, h: jax.Array, args: LlamaArgs,
             d = lin.apply_linear(lp.down, ops.silu_mul(gu), gs, idx=eidx)
         acc = acc + combine[:, e : e + 1] * d.astype(jnp.float32)
     return acc
+
+
+def _moe_routed_ffn(lp: MoELayerParams, x: jax.Array, topv: jax.Array,
+                    topi: jax.Array, args: LlamaArgs, int8_act: bool,
+                    li=None, stacked: bool = False) -> jax.Array:
+    """Routed (grouped-GEMM) expert dispatch for long token streams.
+
+    Tokens sort by assigned expert into a padded stream where every
+    moe_route_block-row block belongs to exactly one expert; the grouped
+    Pallas GEMMs then index each block's expert weights via per-block
+    scalar prefetch, so prefill FLOPs and weight DMA scale with top_k
+    instead of num_experts (the masked dense loop pays num_experts —
+    ~num_experts/top_k wasted compute exactly where prefill is
+    compute-bound). Exact: no capacity drops; padding rows are zero and
+    contribute nothing. The reference's released code has no working MoE
+    at all (ref mixtral_w4a8_unpad.py:288 raises on the missing
+    moe_helpers grouped GEMM)."""
+    T, E = x.shape
+    kk = args.moe_top_k
+    n_exp = args.num_experts
+    bblk = args.moe_route_block
+
+    flat_e = topi.reshape(-1)  # [T*kk]; row t*kk+j = token t's j-th expert
+    flat_t = jnp.arange(T * kk, dtype=jnp.int32) // kk
+    flat_w = topv.reshape(-1).astype(jnp.float32)
+    order = jnp.argsort(flat_e)
+    se, st, sw = flat_e[order], flat_t[order], flat_w[order]
+
+    counts = jnp.bincount(se, length=n_exp)  # [n_exp]
+    starts = jnp.cumsum(counts) - counts
+    rank = jnp.arange(T * kk, dtype=jnp.int32) - starts[se]
+    padded = ((counts + bblk - 1) // bblk) * bblk
+    ends = jnp.cumsum(padded)
+    dest = (ends - padded)[se] + rank
+
+    # static padded-stream length: every expert wastes < bblk rows
+    P = (-(-T * kk // bblk) + n_exp) * bblk
+    nb = P // bblk
+    block_expert = jnp.searchsorted(
+        ends, jnp.arange(nb, dtype=jnp.int32) * bblk, side="right"
+    ).astype(jnp.int32)
+    block_expert = jnp.minimum(block_expert, n_exp - 1)  # all-pad tail blocks
+    if stacked:
+        block_idx = jnp.concatenate(
+            [jnp.full((nb, 1), li, jnp.int32), block_expert[:, None]], axis=1
+        )
+    else:
+        block_idx = block_expert[:, None]
+
+    if int8_act:
+        # quantize the T rows once, scatter the int8 rows + scales into the
+        # padded stream (pad rows: q=0, scale=0 -> exact zero output)
+        need_sum = lin.needs_act_sum(lp.gate_up)
+        q, qs, qsum = _quant_act(x, need_sum)
+        qp = jnp.zeros((P, E), jnp.int8).at[dest].set(q[st])
+        qsp = jnp.zeros((P, 1), jnp.float32).at[dest].set(qs[st])
+        qsump = (
+            jnp.zeros((P, 1), jnp.float32).at[dest].set(qsum[st])
+            if qsum is not None else None
+        )
+        gu = lin.apply_linear_routed(
+            lp.gate_up, lin.QuantAct(qp, qsp, qsump), block_idx
+        )
+        y8, ysc, ysum = ops.silu_mul_quant(gu, lin.needs_act_sum(lp.down))
+        d = lin.apply_linear_routed(
+            lp.down, lin.QuantAct(y8, ysc, ysum), block_idx
+        )
+    else:
+        xp = jnp.zeros((P, E), x.dtype).at[dest].set(x[st])
+        gu = lin.apply_linear_routed(lp.gate_up, xp, block_idx)
+        d = lin.apply_linear_routed(lp.down, ops.silu_mul(gu), block_idx)
+
+    return (
+        jnp.zeros((T, args.hidden_size), jnp.float32)
+        .at[st].add(sw[:, None] * d[dest].astype(jnp.float32))
+    )
 
 
 def _run_layers(params, h, cos, sin, args, attend):

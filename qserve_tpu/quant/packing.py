@@ -41,11 +41,12 @@ def pack_w4(q: jax.Array) -> jax.Array:
 
 
 def unpack_w4(packed: jax.Array) -> jax.Array:
-    """Inverse of pack_w4: [K//2, N] int8 -> [K, N] int8 with values 0..15."""
+    """Inverse of pack_w4: [..., K//2, N] int8 -> [..., K, N] int8, 0..15
+    (leading dims = stacked layers/experts)."""
     x = packed.astype(jnp.int32)
     lo = x & 0xF
     hi = (x >> 4) & 0xF
-    return jnp.concatenate([lo, hi], axis=0).astype(jnp.int8)
+    return jnp.concatenate([lo, hi], axis=-2).astype(jnp.int8)
 
 
 def unpack_w4_nibbles(

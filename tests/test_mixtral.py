@@ -91,6 +91,54 @@ class TestMoEParity:
 
 
 class TestRouting:
+    @pytest.mark.parametrize("precision", ["w4a8kv4", "w8a8kv8", "w16a16kv8"])
+    def test_routed_dispatch_matches_dense(self, float_params, precision):
+        """The grouped-GEMM routed MoE dispatch (prefill) must reproduce the
+        masked dense loop: same experts, same math, different schedule."""
+        import dataclasses
+
+        args = tiny_args(precision)
+        params = mixtral.quantize_params(float_params, args)
+        rng = np.random.default_rng(3)
+        T = 64
+        h = jnp.asarray(rng.standard_normal((T, args.hidden_size)) * 0.3,
+                        jnp.bfloat16)
+        args_dense = dataclasses.replace(args, moe_route_min_tokens=10**9)
+        args_routed = dataclasses.replace(
+            args, moe_route_min_tokens=1, moe_route_block=16
+        )
+        lp = params.layers[0] if not args.scan_layers else jax.tree.map(
+            lambda a: a, params.layers
+        )
+        int8_act = args.quant.act_bits == 8
+        gs = args.quant.group_size if args.quant.group_size > 0 else 128
+        li = jnp.int32(0)
+        dense = llama._moe_mlp(lp, h, args_dense, int8_act, gs, li=li,
+                               stacked=args.scan_layers)
+        routed = llama._moe_mlp(lp, h, args_routed, int8_act, gs, li=li,
+                                stacked=args.scan_layers)
+        d = np.asarray(dense, np.float32)
+        r = np.asarray(routed, np.float32)
+        assert np.abs(d - r).max() < 1e-3 * max(np.abs(d).max(), 1.0), (
+            np.abs(d - r).max()
+        )
+
+    def test_routed_prefill_generation_matches_dense(self, float_params):
+        """End-to-end prefill through the routed dispatch == dense loop."""
+        import dataclasses
+
+        args = tiny_args("w4a8kv4")
+        params = mixtral.quantize_params(float_params, args)
+        tokens = [3, 17, 42, 7, 99, 5, 23, 81]
+        dense_logits = _run_prefill(params, args, tokens)
+        args_r = dataclasses.replace(
+            args, moe_route_min_tokens=1, moe_route_block=16
+        )
+        routed_logits = _run_prefill(params, args_r, tokens)
+        assert np.abs(dense_logits - routed_logits).max() < 1e-2 * max(
+            np.abs(dense_logits).max(), 1.0
+        )
+
     def test_topk_weights_normalized_and_sparse(self):
         """_moe_mlp must weight exactly top-k experts, renormalized."""
         args = tiny_args("w16a16kv8")

@@ -294,3 +294,39 @@ def test_prefix_prefill_compiled_matches_xla():
     m = np.asarray(seg) > 0
     err = np.abs(out[m] - ref[m]).max() / (np.abs(ref[m]).max() + 1e-9)
     assert err < 0.08, f"rel err {err}"
+
+
+def test_routed_grouped_gemm_compiled_matches_ref():
+    """Grouped MoE GEMM (per-M-block expert index maps) through Mosaic."""
+    from qserve_tpu.kernels.pallas_gemm import w4a8_gemm_per_chn_routed_pallas
+
+    E, K, N, bm, nb = 4, 1024, 512, 256, 8
+    M = bm * nb
+    packs, s1s, szs, ps = [], [], [], []
+    for e in range(E):
+        w = jax.random.normal(jax.random.PRNGKey(200 + e), (K, N),
+                              jnp.float32) * 0.05
+        p = qoq.quantize_weight_per_channel(w)
+        packs.append(packing.pack_w4(p.qweight))
+        s1s.append(p.s1_scale)
+        szs.append(p.s1_szero)
+        ps.append(p)
+    qw = jnp.stack(packs)
+    x = jax.random.normal(jax.random.PRNGKey(210), (M, K), jnp.float32)
+    a, ascale, asum = qoq.quantize_activation_per_token(x, with_sum=True)
+    block_expert = jnp.asarray([0, 3, 1, 1, 2, 0, 3, 2], jnp.int32)
+    out = np.asarray(
+        w4a8_gemm_per_chn_routed_pallas(
+            a, ascale, asum, qw, jnp.stack(s1s), jnp.stack(szs),
+            block_expert[:, None], jnp.float32,
+        ),
+        np.float32,
+    )
+    for b in range(nb):
+        ref = qoq.w4a8_gemm_per_channel_ref(
+            a[b * bm:(b + 1) * bm], ascale[b * bm:(b + 1) * bm],
+            asum[b * bm:(b + 1) * bm], ps[int(block_expert[b])], jnp.float32,
+        )
+        np.testing.assert_allclose(out[b * bm:(b + 1) * bm],
+                                   np.asarray(ref, np.float32),
+                                   rtol=2e-2, atol=2e-2)

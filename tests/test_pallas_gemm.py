@@ -198,3 +198,93 @@ class TestW4A8PerChnBigM:
             )
             np.testing.assert_allclose(np.asarray(out), np.asarray(refs[li]),
                                        rtol=2e-5, atol=2e-4)
+
+
+class TestRoutedGrouped:
+    """Grouped (per-M-block expert) GEMMs for the routed MoE dispatch."""
+
+    def _expert_weights_chn(self, E, K, N, key0=60):
+        packs, s1s, szs, ps = [], [], [], []
+        for e in range(E):
+            _, w = _inputs(8, K, N, key=key0 + e)
+            p = qoq.quantize_weight_per_channel(w)
+            packs.append(packing.pack_w4(p.qweight))
+            s1s.append(p.s1_scale)
+            szs.append(p.s1_szero)
+            ps.append(p)
+        return jnp.stack(packs), jnp.stack(s1s), jnp.stack(szs), ps
+
+    def test_w4a8_chn_routed_matches_per_block_reference(self):
+        E, K, N, bm, nb = 3, 512, 128, 16, 6
+        M = bm * nb
+        qw, s1, sz, ps = self._expert_weights_chn(E, K, N)
+        x, _ = _inputs(M, K, N, key=70)
+        a, ascale, asum = qoq.quantize_activation_per_token(x, with_sum=True)
+        block_expert = jnp.asarray([0, 2, 2, 1, 0, 1], jnp.int32)
+        out = pg.w4a8_gemm_per_chn_routed_pallas(
+            a, ascale, asum, qw, s1, sz, block_expert[:, None], jnp.float32
+        )
+        for b in range(nb):
+            e = int(block_expert[b])
+            ref = qoq.w4a8_gemm_per_channel_ref(
+                a[b * bm:(b + 1) * bm], ascale[b * bm:(b + 1) * bm],
+                asum[b * bm:(b + 1) * bm], ps[e], jnp.float32,
+            )
+            np.testing.assert_allclose(
+                np.asarray(out[b * bm:(b + 1) * bm]), np.asarray(ref),
+                rtol=2e-5, atol=2e-4,
+            )
+
+    def test_w4a8_chn_routed_stacked_layer_expert(self):
+        L, E, K, N, bm, nb = 2, 2, 512, 128, 16, 4
+        M = bm * nb
+        qws, s1s, szs, ps = [], [], [], []
+        for li in range(L):
+            qw, s1, sz, p = self._expert_weights_chn(E, K, N, key0=80 + 10 * li)
+            qws.append(qw); s1s.append(s1); szs.append(sz); ps.append(p)
+        qw = jnp.stack(qws)  # [L, E, K/2, N]
+        x, _ = _inputs(M, K, N, key=90)
+        a, ascale, asum = qoq.quantize_activation_per_token(x, with_sum=True)
+        block_idx = jnp.asarray(
+            [[0, 1], [1, 0], [0, 0], [1, 1]], jnp.int32  # (layer, expert)
+        )
+        out = pg.w4a8_gemm_per_chn_routed_pallas(
+            a, ascale, asum, qw, jnp.stack(s1s), jnp.stack(szs), block_idx,
+            jnp.float32,
+        )
+        for b in range(nb):
+            li, e = int(block_idx[b, 0]), int(block_idx[b, 1])
+            ref = qoq.w4a8_gemm_per_channel_ref(
+                a[b * bm:(b + 1) * bm], ascale[b * bm:(b + 1) * bm],
+                asum[b * bm:(b + 1) * bm], ps[li][e], jnp.float32,
+            )
+            np.testing.assert_allclose(
+                np.asarray(out[b * bm:(b + 1) * bm]), np.asarray(ref),
+                rtol=2e-5, atol=2e-4,
+            )
+
+    def test_w8a8_routed_matches_per_block_reference(self):
+        E, K, N, bm, nb = 3, 512, 128, 16, 6
+        M = bm * nb
+        packs, scales, ps = [], [], []
+        for e in range(E):
+            _, w = _inputs(8, K, N, key=100 + e)
+            p = qoq.quantize_weight_w8(w)
+            packs.append(p.qweight); scales.append(p.scale); ps.append(p)
+        qw, ws = jnp.stack(packs), jnp.stack(scales)
+        x, _ = _inputs(M, K, N, key=110)
+        a, ascale, _ = qoq.quantize_activation_per_token(x)
+        block_expert = jnp.asarray([2, 0, 1, 1, 2, 0], jnp.int32)
+        out = pg.w8a8_gemm_routed_pallas(
+            a, ascale, qw, ws, block_expert[:, None], jnp.float32
+        )
+        for b in range(nb):
+            e = int(block_expert[b])
+            ref = qoq.w8a8_gemm_ref(
+                a[b * bm:(b + 1) * bm], ascale[b * bm:(b + 1) * bm], ps[e],
+                jnp.float32,
+            )
+            np.testing.assert_allclose(
+                np.asarray(out[b * bm:(b + 1) * bm]), np.asarray(ref),
+                rtol=2e-5, atol=2e-4,
+            )

@@ -176,7 +176,12 @@ def _maybe_stacked_call(kernel, grid, in_specs, out_spec, out_shape, scratch,
         out_shape=out_shape,
         interpret=interpret_mode(),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # the k grid dim (3-D grids) serializes into the accumulator;
+            # 2-D grids (whole-K kernels) have no cross-step state
+            dimension_semantics=(
+                ("parallel", "parallel", "arbitrary")
+                if len(grid) == 3 else ("parallel",) * len(grid)
+            ),
             # v5e has 128MB VMEM/core; the 16MB default scoped limit rejects
             # prefill-shape kernels once XLA promotes their output tensor
             # into scoped space
@@ -497,12 +502,126 @@ def w4a8_gemm_per_group_pallas(
     )
 
 
+def _w4a8_grp_whole_kernel(a_ref, w_ref, s2s_ref, s2z_ref, gsum_ref, s1_ref,
+                           as_ref, out_ref, *, gpp: int, group: int,
+                           k_half: int, lead: int):
+    """Ragged-K per-group kernel: ONE k step holding the full K strip.
+
+    For K where K2 has no multiple-of-8-groups divisor (Llama-2 down_proj
+    K=11008 -> 43 groups/plane; 13B K=13824 -> 54), per-k-block scale tiles
+    can't meet the int8 sublane alignment. Instead the scale/zero/gsum
+    operands arrive as FULL-row blocks (row dim never sliced -> no sublane
+    alignment constraint; in-kernel row indexing is static), and the whole
+    weight column strip [K2, bn] streams per (m, n) step."""
+    lo, hi = unpack_w4_nibbles(_blk(w_ref, lead), interpret_mode())  # [K2, bn]
+    s2s = _blk(s2s_ref, lead).astype(jnp.int32)  # [2*gpp, bn]
+    s2z = _blk(s2z_ref, lead).astype(jnp.int32)
+
+    def plane(a_start, w_plane, row0):
+        acc = jnp.zeros(out_ref.shape, jnp.int32)
+        for gi in range(gpp):
+            a_g = a_ref[:, pl.ds(a_start + gi * group, group)]
+            q_g = w_plane[gi * group : (gi + 1) * group, :]
+            dot_g = jax.lax.dot_general(
+                a_g, q_g, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            asum_g = gsum_ref[:, row0 + gi : row0 + gi + 1]  # [bm, 1] int32
+            s2 = s2s[row0 + gi : row0 + gi + 1, :] & 0xFF
+            z2 = s2z[row0 + gi : row0 + gi + 1, :]
+            acc += dot_g * s2 + asum_g * z2
+        return acc
+
+    acc = plane(0, lo, 0) + plane(k_half, hi, gpp)
+    out = acc.astype(jnp.float32) * _blk(s1_ref, lead) * as_ref[:]
+    out_ref[:] = out.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("group_size", "out_dtype"))
+def w4a8_gemm_per_group_whole_pallas(
+    a_i8, a_scale, qweight_packed, s2_scale, s2_zero, s1_scale,
+    group_size=128, out_dtype=jnp.bfloat16, idx=None,
+):
+    M, K = a_i8.shape
+    N = qweight_packed.shape[-1]
+    lead = qweight_packed.ndim - 2
+    assert (idx is None) == (lead == 0)
+    K2 = K // 2
+    assert K2 % group_size == 0
+    gpp = K2 // group_size  # groups per nibble plane
+    bn = _pick_bn(N)
+    # whole-K A strip resident: cap its VMEM footprint like _pick_bm
+    bm = _pick_bm(M, K)
+    grid = (pl.cdiv(M, bm), N // bn)
+    lead1 = (1,) * lead
+
+    def ix(t_map):
+        def f(m, n, *refs):
+            if idx is None:
+                return t_map(m, n)
+            return tuple(refs[0][i] for i in range(lead)) + t_map(m, n)
+
+        return f
+
+    def ix_plain(t_map):
+        def f(m, n, *refs):
+            return t_map(m, n)
+
+        return f
+
+    # per-group activation row-sums (both planes), int32 [M, 2*gpp]
+    gsum = jnp.sum(
+        a_i8.astype(jnp.int32).reshape(M, 2 * gpp, group_size), axis=2
+    )
+
+    in_specs = [
+        pl.BlockSpec((bm, K), ix_plain(lambda m, n: (m, 0)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(lead1 + (K2, bn), ix(lambda m, n: (0, n)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(lead1 + (2 * gpp, bn), ix(lambda m, n: (0, n)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(lead1 + (2 * gpp, bn), ix(lambda m, n: (0, n)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bm, 2 * gpp), ix_plain(lambda m, n: (m, 0)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(lead1 + (1, bn), ix(lambda m, n: (0, n)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bm, 1), ix_plain(lambda m, n: (m, 0)),
+                     memory_space=pltpu.VMEM),
+    ]
+    s1 = s1_scale.reshape(*s1_scale.shape[:lead], 1, N)
+    return _maybe_stacked_call(
+        functools.partial(_w4a8_grp_whole_kernel, gpp=gpp, group=group_size,
+                          k_half=K2, lead=lead),
+        grid, in_specs,
+        pl.BlockSpec((bm, bn), ix_plain(lambda m, n: (m, n)),
+                     memory_space=pltpu.VMEM),
+        jax.ShapeDtypeStruct((M, N), out_dtype),
+        [],
+        pl.CostEstimate(
+            flops=2 * M * N * K,
+            bytes_accessed=M * K + K * N // 2 + 2 * gpp * 2 * N + M * N * 2,
+            transcendentals=0,
+        ),
+        (a_i8, qweight_packed, s2_scale, s2_zero, gsum, s1,
+         a_scale.reshape(M, 1)),
+        idx,
+    )
+
+
 @register_pallas("w4a8_gemm_per_group")
 def _w4a8_grp_dispatch(a_i8, a_scale, qw, s2s, s2z, s1, group_size, out_dtype,
                        idx=None):
     K2 = a_i8.shape[1] // 2
-    if not interpret_mode() and K2 % (8 * group_size) != 0:
-        return None  # tiny-K shapes: aligned scale blocks impossible -> XLA
+    if K2 % (8 * group_size) != 0:
+        # ragged group counts (K=11008 -> 43 groups/plane): whole-K-strip
+        # kernel with full-row scale blocks (was an XLA bail-out in round 2)
+        if K2 % group_size != 0:
+            return None  # K not group-divisible at all -> XLA reference
+        return w4a8_gemm_per_group_whole_pallas(
+            a_i8, a_scale, qw, s2s, s2z, s1, group_size, out_dtype, idx
+        )
     return w4a8_gemm_per_group_pallas(
         a_i8, a_scale, qw, s2s, s2z, s1, group_size, out_dtype, idx
     )

@@ -330,3 +330,24 @@ def test_routed_grouped_gemm_compiled_matches_ref():
         np.testing.assert_allclose(out[b * bm:(b + 1) * bm],
                                    np.asarray(ref, np.float32),
                                    rtol=2e-2, atol=2e-2)
+
+
+def test_w4a8_grp_ragged_whole_kernel_compiled():
+    """Ragged group counts (Llama-2 down_proj class: K2 % (8*G) != 0) through
+    Mosaic: full-row scale blocks + whole-K weight strips must legalize."""
+    from qserve_tpu.kernels.pallas_gemm import w4a8_gemm_per_group_whole_pallas
+
+    M, K, N, G = 16, 11008, 512, 128  # 43 groups per nibble plane
+    kx, kw = jax.random.split(jax.random.PRNGKey(5))
+    x = jax.random.normal(kx, (M, K), jnp.float32)
+    w = jax.random.normal(kw, (K, N), jnp.float32) * 0.05
+    p = qoq.quantize_weight_per_group(w, G)
+    packed = packing.pack_w4(p.qweight)
+    a, ascale, _ = qoq.quantize_activation_per_token(x)
+    out = w4a8_gemm_per_group_whole_pallas(
+        a, ascale, packed, p.s2_scale, p.s2_zero, p.s1_scale, G, jnp.float32
+    )
+    ref = qoq.w4a8_gemm_per_group_ref(a, ascale, p, G, jnp.float32)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=2e-2, atol=2e-2)

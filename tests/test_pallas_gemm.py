@@ -64,6 +64,49 @@ class TestW4A8PerGroup:
         ref = qoq.w4a8_gemm_per_group_ref(a, ascale, p, G, jnp.float32)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-4)
 
+    @pytest.mark.parametrize(
+        "M,K,N,G", [(8, 768, 128, 128), (16, 2816, 256, 128)]
+    )
+    def test_ragged_group_count_whole_kernel(self, M, K, N, G):
+        """K2 with no multiple-of-8-groups divisor (Llama-2 down_proj
+        geometry class): the whole-K-strip kernel replaces the round-2 XLA
+        bail-out."""
+        x, w = _inputs(M, K, N, key=7)
+        p = qoq.quantize_weight_per_group(w, G)
+        packed = packing.pack_w4(p.qweight)
+        a, ascale, _ = qoq.quantize_activation_per_token(x)
+        out = pg.w4a8_gemm_per_group_whole_pallas(
+            a, ascale, packed, p.s2_scale, p.s2_zero, p.s1_scale, G,
+            jnp.float32,
+        )
+        ref = qoq.w4a8_gemm_per_group_ref(a, ascale, p, G, jnp.float32)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-4)
+
+    def test_ragged_whole_kernel_stacked_layer(self):
+        L, M, K, N, G = 2, 8, 768, 128, 128
+        packs, s2s, s2z, s1s, refs = [], [], [], [], []
+        a = None
+        for li in range(L):
+            x, w = _inputs(M, K, N, key=130 + li)
+            p = qoq.quantize_weight_per_group(w, G)
+            packs.append(packing.pack_w4(p.qweight))
+            s2s.append(p.s2_scale)
+            s2z.append(p.s2_zero)
+            s1s.append(p.s1_scale)
+            if a is None:
+                a, ascale, _ = qoq.quantize_activation_per_token(x)
+            refs.append(qoq.w4a8_gemm_per_group_ref(a, ascale, p, G,
+                                                    jnp.float32))
+        for li in range(L):
+            out = pg.w4a8_gemm_per_group_whole_pallas(
+                a, ascale, jnp.stack(packs), jnp.stack(s2s), jnp.stack(s2z),
+                jnp.stack(s1s), G, jnp.float32,
+                idx=jnp.asarray([li], jnp.int32),
+            )
+            np.testing.assert_allclose(np.asarray(out), np.asarray(refs[li]),
+                                       rtol=2e-5, atol=2e-4)
+
 
 class TestW8A8:
     @pytest.mark.parametrize("M,K,N", [(8, 512, 128), (32, 768, 384), (3, 256, 128)])

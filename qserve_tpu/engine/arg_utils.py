@@ -191,10 +191,10 @@ class EngineArgs:
             )
 
         if self.run_vlm:
-            # a VLM prompt's image-embed splice spans chunk boundaries; the
-            # VLM engine keeps the reference's long-prompt rejection for now
-            # (TP engines chunk through the shard_map chunk step fn)
-            scheduler_config.enable_chunked_prefill = False
+            # VLM prompts chunk through vlm_prefill_chunk (image embeds
+            # spliced at global offsets), but the fused chunk+decode step
+            # is dense/TP-only — VLM chunk steps run alone
+            scheduler_config.mixed_chunk_decode = False
 
         if args.sliding_window is not None:
             # plumb the model's window into the allocator (cyclic page reuse)

@@ -611,6 +611,25 @@ def prefill_chunk(
     (chunked prefill / prefix compute-skip). Chunk starts are page-aligned
     (scheduler invariant), so appends still use staged full-page writes."""
     h = params.embed[token_ids].astype(jnp.bfloat16)
+    return prefill_chunk_from_hidden(
+        params, kv, h, positions, segment_ids, page_ids, slots,
+        last_token_idx, block_tables, prefix_len, args,
+    )
+
+
+def prefill_chunk_from_hidden(
+    params: LlamaParams,
+    kv: kvc.KVCache,
+    h: jax.Array,  # [T, E] input embeddings (VLM chunks splice image embeds)
+    positions: jax.Array,
+    segment_ids: jax.Array,
+    page_ids: jax.Array,
+    slots: jax.Array,
+    last_token_idx: jax.Array,
+    block_tables: jax.Array,
+    prefix_len: jax.Array,
+    args: LlamaArgs,
+) -> Tuple[jax.Array, kvc.KVCache]:
     cos, sin = rope.rope_cos_sin(positions, args.head_dim, args.rope_theta)
 
     def attend(q, k, v, li):

@@ -129,3 +129,32 @@ def vlm_prefill(
         llm_params, kv, h, positions, segment_ids, page_ids, slots,
         last_token_idx, args,
     )
+
+
+def vlm_prefill_chunk(
+    llm_params: llama.LlamaParams,
+    kv,
+    token_ids: jax.Array,  # [T] int32 chunk tokens (IMAGE_TOKEN_INDEX markers)
+    image_embeds: jax.Array,  # [n_img_tokens_padded, E] flat image embeddings
+    image_idx: jax.Array,  # [T] int32 index into image_embeds (0 if not image)
+    positions: jax.Array,
+    segment_ids: jax.Array,
+    page_ids: jax.Array,
+    slots: jax.Array,
+    last_token_idx: jax.Array,
+    block_tables: jax.Array,  # [1, maxP] — the chunk's cached prefix
+    prefix_len: jax.Array,  # [] int32
+    args: llama.LlamaArgs,
+) -> Tuple[jax.Array, Any]:
+    """One chunk of an image-spliced prompt whose prefix KV is cached
+    (VLM chunked prefill; an image's marker run may straddle the chunk
+    boundary — image_idx carries the global flat-embed offsets)."""
+    is_img = token_ids == IMAGE_TOKEN_INDEX
+    safe_tok = jnp.where(is_img, 0, token_ids)
+    tok_embed = llm_params.embed[safe_tok].astype(jnp.bfloat16)
+    img_embed = image_embeds[image_idx].astype(jnp.bfloat16)
+    h = jnp.where(is_img[:, None], img_embed, tok_embed)
+    return llama.prefill_chunk_from_hidden(
+        llm_params, kv, h, positions, segment_ids, page_ids, slots,
+        last_token_idx, block_tables, prefix_len, args,
+    )

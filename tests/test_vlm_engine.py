@@ -119,3 +119,71 @@ def test_mixed_text_and_image_batch(vlm_engine):
         steps += 1
     done = {o.request_id for o in outs if o.finished}
     assert done == {"t0", "i0"}
+
+
+def _fresh_engine(max_tokens_budget, precision="w8a8kv8"):
+    args = tiny_vila_args(precision)
+    cache_config = CacheConfig(
+        block_size=16, num_device_pages=64,
+        quant=QuantSpec.from_precision(precision),
+    )
+    sched = SchedulerConfig(max_num_batched_tokens=max_tokens_budget,
+                            max_num_seqs=8, max_model_len=128)
+    worker = Worker.create_vlm(args, cache_config, sched, seed=0)
+    return LLMEngine(worker, sched, cache_config, tokenizer=None), args
+
+
+def _drive(engine, max_steps=60):
+    outs, steps = [], 0
+    while engine.has_unfinished_requests() and steps < max_steps:
+        outs.extend(engine.step())
+        steps += 1
+    return [o for o in outs if o.finished]
+
+
+def test_vlm_chunked_prefill_matches_unchunked():
+    """A long image-spliced prompt chunks through vlm_prefill_chunk; the
+    image's marker run STRADDLES the chunk boundary (global embed offsets),
+    and greedy output must match an unchunked run."""
+    # expanded: 30 text + tpi markers + 8 text; budget 32 -> markers split
+    prompt = [(i * 3 + 1) % 100 + 4 for i in range(30)] + [IMAGE_TOKEN_INDEX] \
+        + [(i * 7 + 5) % 100 + 4 for i in range(8)]
+    sp = SamplingParams(max_tokens=5, temperature=0.0, ignore_eos=True)
+
+    big, args = _fresh_engine(256)
+    tpi = args.tokens_per_image
+    big.add_request("r", prompt_token_ids=list(prompt), sampling_params=sp,
+                    multi_modal_data={"images": [_image(7)]})
+    ref = _drive(big)
+    assert len(ref) == 1
+
+    small, _ = _fresh_engine(32)
+    small.add_request("r", prompt_token_ids=list(prompt), sampling_params=sp,
+                      multi_modal_data={"images": [_image(7)]})
+    # marker run must straddle the 32-token chunk boundary for this test
+    seq = small.scheduler.waiting[0].get_seqs()[0]
+    ids = seq.data.prompt_token_ids
+    assert ids[30:30 + tpi].count(IMAGE_TOKEN_INDEX) == tpi and 30 < 32 < 30 + tpi
+    got = _drive(small)
+    assert len(got) == 1
+    assert got[0].outputs[0]["token_ids"] == ref[0].outputs[0]["token_ids"]
+    assert small.scheduler.block_manager.get_num_free_device_pages() == 64
+    # cached embeds released after the final chunk
+    assert not small.worker.model_runner._chunk_embeds
+
+
+def test_vlm_chunked_text_only_prompt():
+    """A long text-only prompt through the VLM engine takes the base
+    chunk path."""
+    sp = SamplingParams(max_tokens=4, temperature=0.0, ignore_eos=True)
+    big, _ = _fresh_engine(256)
+    big.add_request("r", prompt_token_ids=[(i * 5 + 3) % 120 + 4
+                                           for i in range(70)],
+                    sampling_params=sp)
+    ref = _drive(big)
+    small, _ = _fresh_engine(32)
+    small.add_request("r", prompt_token_ids=[(i * 5 + 3) % 120 + 4
+                                             for i in range(70)],
+                      sampling_params=sp)
+    got = _drive(small)
+    assert got[0].outputs[0]["token_ids"] == ref[0].outputs[0]["token_ids"]

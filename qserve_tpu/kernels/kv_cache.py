@@ -83,10 +83,19 @@ def create_kv_cache(
         # bf16 scales halve the 12.5% KV4 scale-byte overhead (both HBM
         # bandwidth and capacity); bf16 roundoff on the scale (~0.4%) is far
         # below the 4-bit lattice rounding noise. Requires the scale block's
-        # 2H sublane dim to stay bf16-tile (16) aligned for whole-page DMAs.
+        # 2H sublane dim to stay bf16-tile (16) aligned for whole-page DMAs;
+        # smaller-H geometries keep f32 (padding 2H up to the bf16 tile
+        # would cancel the byte saving exactly, so f32 is optimal there).
         scale_dtype = (
             jnp.bfloat16 if (2 * num_kv_heads) % 16 == 0 else jnp.float32
         )
+        if scale_dtype is jnp.float32 and num_kv_heads > 1:
+            from qserve_tpu.logger import init_logger
+
+            init_logger(__name__).info(
+                "KV scales stored f32: 2*num_kv_heads=%d not bf16-tile "
+                "aligned", 2 * num_kv_heads,
+            )
     return KVCache(
         data=jnp.zeros(
             (num_layers, num_pages, 2, page_size, num_kv_heads * dc), jnp.int8

@@ -71,6 +71,11 @@ def main():
     )
     ap.add_argument("--calib-windows", type=int, default=32)
     ap.add_argument("--alpha", type=float, default=0.5)
+    ap.add_argument(
+        "--alpha-sweep", type=str, default=None,
+        help="comma-separated alphas; evaluates ONLY the +opt 4-bit configs "
+        "at each alpha (RTN + FP16 once) and reports the best per flavor",
+    )
     args = ap.parse_args()
 
     from qserve_tpu.config import QuantSpec
@@ -82,39 +87,48 @@ def main():
 
     cfg = loader.load_hf_config_dict(args.ckpt_dir)
     fp = None
-    fp_opt = {}  # group_size -> optimized float params (clip is gs-dependent)
+    # (group_size, alpha) -> optimized float params (clip is gs-dependent)
+    fp_opt = {}
+    calib = None
     results = {}
     configs = [
-        ("w16a16kv8", -1, False, False, "FP16 (baseline)"),
-        ("w8a8kv8", -1, True, False, "W8A8KV8"),
-        ("w4a8kv4", -1, True, False, "W4A8KV4 per-channel"),
-        ("w4a8kv4", 128, True, False, "W4A8KV4 g128"),
+        ("w16a16kv8", -1, False, None, "FP16 (baseline)"),
+        ("w8a8kv8", -1, True, None, "W8A8KV8"),
+        ("w4a8kv4", -1, True, None, "W4A8KV4 per-channel"),
+        ("w4a8kv4", 128, True, None, "W4A8KV4 g128"),
     ]
-    if args.optimize:
+    if args.alpha_sweep:
+        alphas = [float(a) for a in args.alpha_sweep.split(",")]
+        for a in alphas:
+            configs += [
+                ("w4a8kv4", -1, True, a, f"W4A8KV4 per-channel +opt a={a}"),
+                ("w4a8kv4", 128, True, a, f"W4A8KV4 g128 +opt a={a}"),
+            ]
+    elif args.optimize:
         configs += [
-            ("w4a8kv4", -1, True, True, "W4A8KV4 per-channel +opt"),
-            ("w4a8kv4", 128, True, True, "W4A8KV4 g128 +opt"),
+            ("w4a8kv4", -1, True, args.alpha, "W4A8KV4 per-channel +opt"),
+            ("w4a8kv4", 128, True, args.alpha, "W4A8KV4 g128 +opt"),
         ]
-    for precision, gs, kv_sim, opt, label in configs:
+    for precision, gs, kv_sim, alpha, label in configs:
         quant = QuantSpec.from_precision(precision, gs)
         margs = loader.args_from_config_dict(cfg, quant)
         if fp is None:
             fp = loader.load_float_params_from_hf(args.ckpt_dir, margs)
         t0 = time.time()
         src = fp
-        if opt:
-            if gs not in fp_opt:
+        if alpha is not None:
+            if (gs, alpha) not in fp_opt:
                 from qserve_tpu.quant import optimize
 
-                calib = optimize.load_calib_windows(
-                    args.corpus_dir, n_windows=args.calib_windows,
-                    seqlen=args.seqlen, bos=BOS,
+                if calib is None:
+                    calib = optimize.load_calib_windows(
+                        args.corpus_dir, n_windows=args.calib_windows,
+                        seqlen=args.seqlen, bos=BOS,
+                    )
+                fp_opt[(gs, alpha)] = optimize.optimize_float_params(
+                    fp, margs, calib, alpha=alpha, alpha_attn=alpha,
                 )
-                fp_opt[gs] = optimize.optimize_float_params(
-                    fp, margs, calib, alpha=args.alpha,
-                    alpha_attn=args.alpha,
-                )
-            src = fp_opt[gs]
+            src = fp_opt[(gs, alpha)]
         params = llama.quantize_params(src, margs)
         ppl, n = evaluate(
             params, margs, tokens, args.seqlen, args.windows, kv_sim

@@ -58,3 +58,22 @@ def test_dispatch_decode_vs_prefill_path():
     np.testing.assert_array_equal(np.asarray(out_xla.data), np.asarray(d))
     np.testing.assert_allclose(np.asarray(out_xla.scales), np.asarray(s),
                                rtol=1e-6)
+
+
+class TestScaleDtypeSelection:
+    """bf16 KV scales apply exactly when the 2H sublane dim is bf16-tile
+    aligned; smaller geometries keep f32 (padding would cancel the byte
+    saving). Pins the policy so the fallback can't regress silently."""
+
+    @pytest.mark.parametrize(
+        "kv_heads,expect",
+        [(8, jnp.bfloat16), (16, jnp.bfloat16), (4, jnp.float32),
+         (2, jnp.float32), (1, jnp.float32)],
+    )
+    def test_geometry_to_scale_dtype(self, kv_heads, expect):
+        c = kvc.create_kv_cache(1, 2, kv_heads, 128, 128, 4)
+        assert c.scales.dtype == expect, (kv_heads, c.scales.dtype)
+
+    def test_explicit_override_wins(self):
+        c = kvc.create_kv_cache(1, 2, 8, 128, 128, 4, scale_dtype=jnp.float32)
+        assert c.scales.dtype == jnp.float32

@@ -6,7 +6,13 @@ constant-fold the remaining work (memory: zeroed components fold away
 downstream work — here disabled parts are REPLACED by cheap dependent ops).
 
 Usage: python benchmarks/ablate_decode.py [B] [CTX] [variant ...]
-Variants: full noattn noappend nolmhead nogemmo attnonly
+Variants: realstep full noattn noappend nolmhead nogemmo attnonly
+
+`realstep` is the production step function (sampler included) — its delta
+vs `full` (argmax instead of sampling) isolates the sampler cost, and the
+remaining deltas decompose the rest: attention (full - noattn), append
+(full - noappend), lm_head (full - nolmhead); GEMM+elementwise is what's
+left of noattn after subtracting append+lm_head.
 """
 
 from __future__ import annotations
@@ -24,7 +30,9 @@ import numpy as np
 
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 128
 CTX = int(sys.argv[2]) if len(sys.argv) > 2 else 1280
-VARIANTS = sys.argv[3:] or ["full", "noattn", "noappend", "nolmhead", "attnonly"]
+VARIANTS = sys.argv[3:] or [
+    "realstep", "full", "noattn", "noappend", "nolmhead", "attnonly"
+]
 PAGE = 256
 
 
@@ -88,6 +96,24 @@ def main():
             logits = ops.matmul(h, params.lm_head, jnp.float32)
             return jnp.argmax(logits, axis=-1).astype(jnp.float32), kv2
 
+        def realstep(params, kv, token_ids, block_tables, context_lens):
+            """The production decode step: llama.decode + the real sampler
+            (temperature/top-p/top-k vectors), exactly what the engine jits
+            (worker/model_runner._decode_step)."""
+            from qserve_tpu.layers import sampler as sampler_mod
+
+            logits, kv2 = llama.decode(
+                params, kv, token_ids, block_tables, context_lens, args
+            )
+            toks = sampler_mod.sample(
+                logits,
+                jnp.full((B,), 0.7, jnp.float32),
+                jnp.full((B,), 0.9, jnp.float32),
+                jnp.zeros((B,), jnp.int32),
+                jax.random.PRNGKey(0),
+            )
+            return toks.astype(jnp.float32), kv2
+
         def attn_only(params, kv, token_ids, block_tables, context_lens):
             h = params.embed[token_ids].astype(jnp.bfloat16)
             q = jnp.tile(h[:, :128][:, None, :], (1, 32, 1))
@@ -106,7 +132,7 @@ def main():
             )
             return o.sum(axis=(1, 2)), kv
 
-        fn = attn_only if variant == "attnonly" else decode
+        fn = {"attnonly": attn_only, "realstep": realstep}.get(variant, decode)
         return jax.jit(fn, donate_argnames=("kv",))
 
     for variant in VARIANTS:

@@ -1,0 +1,125 @@
+"""Sampler tests: the top-C candidate fast path must match the exact
+full-sort semantics (support sets and probabilities), including the
+heavy-tail rows that fall back to the full sort under lax.cond."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qserve_tpu.layers import sampler
+
+
+def _kept_set_reference(logits, temp, top_p, top_k):
+    """Exact numpy kept-set + renormalized probs for one row."""
+    scaled = logits.astype(np.float64) / max(temp, 1e-6)
+    V = scaled.shape[0]
+    k = V if top_k <= 0 else min(top_k, V)
+    order = np.argsort(scaled)[::-1]
+    kth = scaled[order[k - 1]]
+    keep = scaled >= kth
+    masked = np.where(keep, scaled, -np.inf)
+    # nucleus on the k-masked, renormalized distribution
+    m = masked[order]
+    p = np.exp(m - np.max(m[np.isfinite(m)]))
+    p = np.where(np.isfinite(m), p, 0.0)
+    p = p / p.sum()
+    cum = np.cumsum(p)
+    cutoff = (cum - p) < top_p
+    finite = np.isfinite(m) & cutoff
+    thresh = np.min(m[finite])
+    keep = masked >= thresh
+    probs = np.where(keep, np.exp(scaled - scaled.max()), 0.0)
+    probs = probs / probs.sum()
+    return keep, probs
+
+
+def _draw(logits, temp, topp, topk, n, seed=0):
+    B = n
+    l = jnp.tile(jnp.asarray(logits, jnp.float32)[None, :], (B, 1))
+    toks = sampler.sample(
+        l,
+        jnp.full((B,), temp, jnp.float32),
+        jnp.full((B,), topp, jnp.float32),
+        jnp.full((B,), topk, jnp.int32),
+        jax.random.PRNGKey(seed),
+    )
+    return np.asarray(toks)
+
+
+class TestGreedy:
+    def test_greedy_equals_argmax(self):
+        rng = np.random.default_rng(0)
+        logits = rng.standard_normal((8, 512)).astype(np.float32)
+        toks = sampler.sample(
+            jnp.asarray(logits),
+            jnp.zeros(8), jnp.ones(8), jnp.zeros(8, jnp.int32),
+            jax.random.PRNGKey(1),
+        )
+        np.testing.assert_array_equal(np.asarray(toks), logits.argmax(-1))
+
+
+class TestFastPathExactness:
+    """V=512 > C=256 so the candidate window genuinely truncates."""
+
+    @pytest.mark.parametrize(
+        "temp,topp,topk",
+        [
+            (0.8, 0.9, 0),    # nucleus closes inside C
+            (1.0, 1.0, 50),   # top-k inside C, nucleus off
+            (0.7, 0.95, 20),  # both filters
+            (1.2, 1.0, 0),    # raw temperature sampling (no filters)
+            (0.9, 0.9, 300),  # top-k BEYOND C -> cond fallback for p<1
+        ],
+    )
+    def test_support_and_distribution(self, temp, topp, topk):
+        rng = np.random.default_rng(3)
+        # peaked but not degenerate distribution
+        logits = (rng.standard_normal(512) * 2.0).astype(np.float32)
+        keep, probs = _kept_set_reference(logits, temp, topp, topk)
+        n = 4000
+        toks = _draw(logits, temp, topp, topk, n)
+        assert keep[toks].all(), "sampled token outside the exact kept set"
+        # empirical frequency of the modal token within statistical noise
+        mode = int(np.argmax(probs))
+        p_mode = probs[mode]
+        emp = (toks == mode).mean()
+        tol = 4 * np.sqrt(p_mode * (1 - p_mode) / n) + 1e-3
+        assert abs(emp - p_mode) < tol, (emp, p_mode, tol)
+
+    def test_heavy_tail_falls_back_exactly(self):
+        """Near-uniform logits: top-256 mass < top_p -> slow branch; the
+        kept set must still match the exact full-vocab nucleus."""
+        rng = np.random.default_rng(5)
+        logits = (rng.standard_normal(512) * 0.01).astype(np.float32)
+        temp, topp, topk = 1.0, 0.99, 0
+        keep, probs = _kept_set_reference(logits, temp, topp, topk)
+        assert keep.sum() > sampler.TOPC  # the case the window can't close
+        toks = _draw(logits, temp, topp, topk, 2000, seed=7)
+        assert keep[toks].all()
+        # far more distinct tokens than the C window could produce
+        assert len(np.unique(toks)) > sampler.TOPC // 2
+
+    def test_mixed_batch_rows_independent(self):
+        rng = np.random.default_rng(8)
+        logits = (rng.standard_normal((3, 512)) * 2).astype(np.float32)
+        toks = sampler.sample(
+            jnp.asarray(logits),
+            jnp.asarray([0.0, 0.8, 1.0], jnp.float32),
+            jnp.asarray([1.0, 0.9, 1.0], jnp.float32),
+            jnp.asarray([0, 0, 40], jnp.int32),
+            jax.random.PRNGKey(2),
+        )
+        toks = np.asarray(toks)
+        assert toks[0] == logits[0].argmax()
+        keep1, _ = _kept_set_reference(logits[1], 0.8, 0.9, 0)
+        keep2, _ = _kept_set_reference(logits[2], 1.0, 1.0, 40)
+        assert keep1[toks[1]] and keep2[toks[2]]
+
+    def test_small_vocab_unaffected(self):
+        """V <= C: the window covers everything; spot-check support."""
+        rng = np.random.default_rng(9)
+        logits = (rng.standard_normal(64) * 2).astype(np.float32)
+        keep, _ = _kept_set_reference(logits, 0.7, 0.8, 5)
+        toks = _draw(logits, 0.7, 0.8, 5, 1000, seed=3)
+        assert keep[toks].all()

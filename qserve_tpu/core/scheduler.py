@@ -305,6 +305,9 @@ class Scheduler:
                         self.scheduler_config, "mixed_chunk_decode", True
                     )
                     and len(scheduled) == 1
+                    # best_of>1 chunks use the logits-returning step fn,
+                    # which has no fused-decode variant
+                    and scheduled[0].sampling_params.best_of == 1
                 ):
                     chunk_group = scheduled[0]
                     seq = next(

@@ -100,14 +100,6 @@ class LLMEngine:
             raise NotImplementedError(
                 "n>1 / best_of>1 not supported by this model runner"
             )
-        if (
-            sampling_params.best_of > 1
-            and len(prompt_token_ids) > self.scheduler_config.max_num_batched_tokens
-        ):
-            raise NotImplementedError(
-                "n>1 with chunked (longer than max_num_batched_tokens) prompts"
-            )
-
         if is_vlm_request:
             # expand each image tag to tokens_per_image marker slots and
             # preprocess the images once, at admission time (the scheduler

@@ -347,6 +347,17 @@ def build_step_fns(args: llama.LlamaArgs, mesh: Mesh, param_specs):
         toks = sampler_mod.sample(logits, temp, topp, topk, _key_for_shard(key))
         return toks, kv
 
+    def chunk_logits_body(params, kv, tok, pos, seg, pages, slots, last_idx,
+                          bt, prefix_len, temp, topp, topk, key):
+        """Final chunk of a best_of>1 prompt: also return last-token logits
+        (host-sampled extra candidates, like prefill_logits)."""
+        logits, kv = llama.prefill_chunk(
+            params, kv, tok, pos, seg, pages, slots, last_idx, bt,
+            prefix_len.reshape(()), args,
+        )
+        toks = sampler_mod.sample(logits, temp, topp, topk, _key_for_shard(key))
+        return toks, kv, logits.astype(jnp.float32)
+
     def chunk_decode_body(params, kv, tok, pos, seg, pages, slots, last_idx,
                           bt, prefix_len, d_tok, d_bt, d_ctx,
                           temp, topp, topk, key):
@@ -384,6 +395,12 @@ def build_step_fns(args: llama.LlamaArgs, mesh: Mesh, param_specs):
                   P(DP, None), dpv, dpv, dpv, dpv, P()),
         out_specs=(dpv, kv_specs),
     )
+    chunk_logits = _shard_map(
+        chunk_logits_body, mesh,
+        in_specs=(param_specs, kv_specs, dpv, dpv, dpv, dpv, dpv, dpv,
+                  P(DP, None), dpv, dpv, dpv, dpv, P()),
+        out_specs=(dpv, kv_specs, dpv),
+    )
     chunk_decode = _shard_map(
         chunk_decode_body, mesh,
         in_specs=(param_specs, kv_specs, dpv, dpv, dpv, dpv, dpv, dpv,
@@ -400,6 +417,7 @@ def build_step_fns(args: llama.LlamaArgs, mesh: Mesh, param_specs):
     prefill = jax.jit(prefill, donate_argnums=(1,))
     prefill_logits = jax.jit(prefill_logits, donate_argnums=(1,))
     chunk = jax.jit(chunk, donate_argnums=(1,))
+    chunk_logits = jax.jit(chunk_logits, donate_argnums=(1,))
     chunk_decode = jax.jit(chunk_decode, donate_argnums=(1,))
     decode = jax.jit(decode, donate_argnums=(1,))
-    return prefill, decode, chunk, prefill_logits, chunk_decode
+    return prefill, decode, chunk, prefill_logits, chunk_decode, chunk_logits

@@ -74,6 +74,23 @@ def _prefill_chunk_step(
 @functools.partial(
     jax.jit, static_argnames=("args",), donate_argnames=("kv",)
 )
+def _prefill_chunk_step_logits(
+    params, kv, tok, pos, seg, pages, slots, last_idx, bt, prefix_len,
+    temp, topp, topk, key, *, args
+):
+    """Final chunk of a best_of>1 prompt: also return the last-token logits
+    so the host can draw the extra candidates."""
+    logits, kv = llama.prefill_chunk(
+        params, kv, tok, pos, seg, pages, slots, last_idx, bt, prefix_len,
+        args,
+    )
+    toks = sampler_mod.sample(logits, temp, topp, topk, key)
+    return toks, kv, logits.astype(jnp.float32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("args",), donate_argnames=("kv",)
+)
 def _chunk_decode_step(
     params, kv, tok, pos, seg, pages, slots, last_idx, bt, prefix_len,
     d_tok, d_bt, d_ctx, temp, topp, topk, key, *, args
@@ -209,12 +226,16 @@ class ModelRunner:
         tables: List[List[int]] = []
         seq_order: List[int] = []
         sp_list = []
+        completes: List[bool] = []  # this step finishes the prompt
         total = 0
         for md in metadata:
             for seq_id, data in md.seq_data.items():
                 ids = data.get_token_ids()
                 if md.chunk is not None:  # first chunk of a long prompt
                     ids = ids[md.chunk[0] : md.chunk[1]]
+                completes.append(
+                    md.chunk is None or md.chunk[1] >= data.get_len()
+                )
                 prompts.append(ids)
                 tables.append(md.block_tables[seq_id])
                 total += len(ids)
@@ -229,7 +250,9 @@ class ModelRunner:
         temp, topp, topk = self._sampling_arrays(sp_list, B)
 
         self.last_extra_samples = {}
-        want_extra = any(sp.best_of > 1 for sp in sp_list)
+        want_extra = any(
+            sp.best_of > 1 and c for sp, c in zip(sp_list, completes)
+        )
         step_args = (
             self.params,
             cache_engine.cache,
@@ -243,7 +266,7 @@ class ModelRunner:
             )
             logits_np = np.asarray(jax.device_get(logits))
             for i, (sid, sp) in enumerate(zip(seq_order, sp_list)):
-                if sp.best_of > 1:
+                if sp.best_of > 1 and completes[i]:
                     self.last_extra_samples[sid] = sample_host(
                         logits_np[i], sp, self._host_rng, sp.best_of - 1
                     )
@@ -275,15 +298,28 @@ class ModelRunner:
         temp, topp, topk = self._sampling_arrays([md.sampling_params], 1)
 
         self.last_extra_samples = {}
-        toks, cache_engine.cache = _prefill_chunk_step(
+        sp = md.sampling_params
+        step_args = (
             self.params,
             cache_engine.cache,
             *map(jnp.asarray, (tok, pos, sg, pg, sl, li)),
             jnp.asarray(bt), jnp.int32(start),
             temp, topp, topk,
             self._next_key(),
-            args=self.model_args,
         )
+        if sp.best_of > 1 and end == data.get_len():
+            # final chunk of an n>1 prompt: host-sample the extra candidates
+            toks, cache_engine.cache, logits = _prefill_chunk_step_logits(
+                *step_args, args=self.model_args
+            )
+            logits_np = np.asarray(jax.device_get(logits))
+            self.last_extra_samples[seq_id] = sample_host(
+                logits_np[0], sp, self._host_rng, sp.best_of - 1
+            )
+        else:
+            toks, cache_engine.cache = _prefill_chunk_step(
+                *step_args, args=self.model_args
+            )
         out = np.asarray(jax.device_get(toks))
         return [(seq_id, int(out[0]))]
 

@@ -69,7 +69,8 @@ class TPModelRunner(ModelRunner):
         )
         self.param_specs = specs
         (self._prefill_fn, self._decode_fn, self._chunk_fn,
-         self._prefill_logits_fn, self._chunk_decode_fn) = tpmod.build_step_fns(
+         self._prefill_logits_fn, self._chunk_decode_fn,
+         self._chunk_logits_fn) = tpmod.build_step_fns(
             args, self.mesh, specs
         )
         # multi-host: every host runs the identical (deterministic) scheduler,
@@ -119,13 +120,16 @@ class TPModelRunner(ModelRunner):
             assert len(metadata) == 1
             return self._execute_prefill_chunk_tp(metadata[0], cache_engine)
 
-        prompts, tables, seq_order, sp_list = [], [], [], []
+        prompts, tables, seq_order, sp_list, completes = [], [], [], [], []
         total = 0
         for md in metadata:
             for seq_id, data in md.seq_data.items():
                 ids = data.get_token_ids()
                 if md.chunk is not None:  # first chunk of a long prompt
                     ids = ids[md.chunk[0] : md.chunk[1]]
+                completes.append(
+                    md.chunk is None or md.chunk[1] >= data.get_len()
+                )
                 prompts.append(ids)
                 tables.append(md.block_tables[seq_id])
                 total += len(ids)
@@ -148,14 +152,14 @@ class TPModelRunner(ModelRunner):
             self._feed(np.asarray(self._next_key())),
         )
         self.last_extra_samples = {}
-        if any(sp.best_of > 1 for sp in sp_list):
+        if any(sp.best_of > 1 and c for sp, c in zip(sp_list, completes)):
             toks, cache_engine.cache, logits = self._prefill_logits_fn(*step_args)
             logits_np = np.asarray(
                 logits.addressable_data(0) if self.multihost
                 else jax.device_get(logits)
             )
             for i, (sid, sp) in enumerate(zip(seq_order, sp_list)):
-                if sp.best_of > 1:
+                if sp.best_of > 1 and completes[i]:
                     self.last_extra_samples[sid] = sample_host(
                         logits_np[i], sp, self._host_rng, sp.best_of - 1
                     )
@@ -185,7 +189,8 @@ class TPModelRunner(ModelRunner):
 
         dpv = P(tpmod.DP)
         self.last_extra_samples = {}
-        toks, cache_engine.cache = self._chunk_fn(
+        sp = md.sampling_params
+        step_args = (
             self.params, cache_engine.cache,
             *(self._feed(x, dpv) for x in (tok, pos, sg, pg, sl, li)),
             self._feed(bt, P(tpmod.DP, None)),
@@ -193,6 +198,19 @@ class TPModelRunner(ModelRunner):
             self._feed(temp, dpv), self._feed(topp, dpv), self._feed(topk, dpv),
             self._feed(np.asarray(self._next_key())),
         )
+        if sp.best_of > 1 and end == data.get_len():
+            from qserve_tpu.worker.model_runner import sample_host
+
+            toks, cache_engine.cache, logits = self._chunk_logits_fn(*step_args)
+            logits_np = np.asarray(
+                logits.addressable_data(0) if self.multihost
+                else jax.device_get(logits)
+            )
+            self.last_extra_samples[seq_id] = sample_host(
+                logits_np[0], sp, self._host_rng, sp.best_of - 1
+            )
+        else:
+            toks, cache_engine.cache = self._chunk_fn(*step_args)
         out = self._fetch(toks)
         return [(seq_id, int(out[0]))]
 

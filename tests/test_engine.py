@@ -471,6 +471,29 @@ class TestChunkedPrefill:
         assert got["s"].outputs[0]["token_ids"] == ref_s["s"].outputs[0]["token_ids"]
         assert got["l"].outputs[0]["token_ids"] == ref_l["l"].outputs[0]["token_ids"]
 
+    def test_n2_greedy_chunked_prompt_matches_single(self):
+        """n=2 on a prompt longer than the token budget: the final chunk's
+        logits feed the extra candidates; both greedy candidates must match
+        the n=1 chunked result."""
+        prompt = [(11 * i + 2) % 128 for i in range(100)]
+        solo = build_engine(pages=64, max_tokens=64, max_len=256)
+        solo.add_request(
+            "s", prompt_token_ids=prompt,
+            sampling_params=SamplingParams(max_tokens=6, temperature=0.0),
+        )
+        ref, _ = run_to_completion(solo)
+
+        dual = build_engine(pages=64, max_tokens=64, max_len=256)
+        dual.add_request(
+            "d", prompt_token_ids=prompt,
+            sampling_params=SamplingParams(n=2, max_tokens=6, temperature=0.0),
+        )
+        got, _ = run_to_completion(dual)
+        assert len(got["d"].outputs) == 2
+        for cand in got["d"].outputs:
+            assert cand["token_ids"] == ref["s"].outputs[0]["token_ids"]
+        assert dual.scheduler.block_manager.get_num_free_device_pages() == 64
+
     def test_prefix_compute_skip(self):
         """Second request sharing a computed prefix: identical output AND
         measurably fewer prompt tokens computed."""

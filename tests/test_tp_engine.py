@@ -178,6 +178,31 @@ class TestTPChunkedPrefill:
         assert len(done["long"].outputs[0]["token_ids"]) == 4
         assert engine.scheduler.block_manager.get_num_free_device_pages() == 32
 
+    def test_tp_n2_greedy_chunked_prompt_matches_single(self):
+        """n=2 with a chunked prompt on the TP engine (chunk-logits step)."""
+        prompt = [(11 * i + 2) % 128 for i in range(72)]
+        solo = _tp_engine(num_pages=32, max_len=96, max_tokens=32)
+        solo.add_request(
+            "s", prompt_token_ids=prompt,
+            sampling_params=SamplingParams(max_tokens=5, temperature=0.0,
+                                           ignore_eos=True),
+        )
+        ref, _ = _drive(solo)
+        want = [o for o in ref if o.finished][0].outputs[0]["token_ids"]
+
+        dual = _tp_engine(num_pages=32, max_len=96, max_tokens=32)
+        dual.add_request(
+            "d", prompt_token_ids=prompt,
+            sampling_params=SamplingParams(n=2, max_tokens=5, temperature=0.0,
+                                           ignore_eos=True),
+        )
+        got, _ = _drive(dual)
+        out = [o for o in got if o.finished][0]
+        assert len(out.outputs) == 2
+        for cand in out.outputs:
+            assert cand["token_ids"] == want
+        assert dual.scheduler.block_manager.get_num_free_device_pages() == 32
+
     def test_tp_n2_greedy_matches_single(self):
         """Greedy n=2 on the TP engine: both candidates must equal the n=1
         result (host-sampled extra candidates from all-gathered logits)."""

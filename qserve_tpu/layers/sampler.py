@@ -57,6 +57,23 @@ def sample(
     if V <= 1:
         return greedy_ids
 
+    def all_greedy(_):
+        return greedy_ids
+
+    def mixed(_):
+        return _sample_stochastic(
+            logits, greedy_ids, temperature, top_p, top_k, key
+        )
+
+    # all-greedy batches (offline serving / benchmarking) skip the whole
+    # sampling computation — jnp.where alone would still evaluate it
+    return jax.lax.cond(
+        jnp.all(temperature <= 0.0), all_greedy, mixed, operand=None
+    )
+
+
+def _sample_stochastic(logits, greedy_ids, temperature, top_p, top_k, key):
+    B, V = logits.shape
     temp = jnp.maximum(temperature, 1e-6)[:, None]
     scaled = logits / temp
 

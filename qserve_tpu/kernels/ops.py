@@ -301,6 +301,41 @@ def w8a8_gemm_routed(
     return out.reshape(M, -1).astype(out_dtype)
 
 
+def w4a8_gemm_per_group_routed(
+    a_i8: jax.Array,
+    a_scale: jax.Array,
+    qweight_packed: jax.Array,  # [(L,) n_exp, K//2, N]
+    s2_scale: jax.Array,
+    s2_zero: jax.Array,
+    s1_scale: jax.Array,
+    block_idx: jax.Array,  # int32 [nb, d]
+    group_size: int = 128,
+    out_dtype=jnp.bfloat16,
+) -> jax.Array:
+    fn = _impl("w4a8_gemm_per_group_routed")
+    if fn is not None:
+        out = fn(a_i8, a_scale, qweight_packed, s2_scale, s2_zero, s1_scale,
+                 block_idx, group_size, out_dtype)
+        if out is not None:
+            return out
+    nb = block_idx.shape[0]
+    M, K = a_i8.shape
+    bm = M // nb
+    w = packing.unpack_w4(_gather_block_idx(qweight_packed, block_idx))
+    p = qoq.PerGroupW4(
+        w,
+        _gather_block_idx(s2_scale, block_idx),
+        _gather_block_idx(s2_zero, block_idx),
+        _gather_block_idx(s1_scale, block_idx),
+    )
+    out = jax.vmap(
+        lambda a, asc, pp: qoq.w4a8_gemm_per_group_ref(
+            a, asc, pp, group_size, out_dtype
+        )
+    )(a_i8.reshape(nb, bm, K), a_scale.reshape(nb, bm, 1), p)
+    return out.reshape(M, -1)
+
+
 def matmul_routed(
     x: jax.Array,  # [M, K] bf16 sorted+padded token stream
     w: jax.Array,  # [(L,) n_exp, K, N] bf16

@@ -823,3 +823,83 @@ def w8a8_gemm_routed_pallas(a_i8, a_scale, qweight, w_scale, block_idx,
 @register_pallas("w8a8_gemm_routed")
 def _w8a8_routed_dispatch(a_i8, a_scale, qw, ws, block_idx, out_dtype):
     return w8a8_gemm_routed_pallas(a_i8, a_scale, qw, ws, block_idx, out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("group_size", "out_dtype"))
+def w4a8_gemm_per_group_routed_pallas(
+    a_i8, a_scale, qweight_packed, s2_scale, s2_zero, s1_scale, block_idx,
+    group_size=128, out_dtype=jnp.bfloat16,
+):
+    """Grouped (per-M-block expert) two-level W4A8 GEMM."""
+    M, K = a_i8.shape
+    N = qweight_packed.shape[-1]
+    nb, lead = block_idx.shape
+    assert lead == qweight_packed.ndim - 2
+    assert M % nb == 0
+    bm = M // nb
+    K2 = K // 2
+    G = K // group_size
+    assert K2 % group_size == 0
+    bn = _pick_bn(N)
+    bk2 = _pick_bk2(K2, bn, multiple=8 * group_size)
+    nk = K2 // bk2
+    gpb = bk2 // group_size
+    grid = (nb, N // bn, nk)
+    lead1 = (1,) * lead
+    ix, ix_plain = _ix_maps(block_idx, lead, per_block=True)
+
+    gsum = jnp.sum(
+        a_i8.astype(jnp.int32).reshape(M, G, group_size), axis=2
+    )  # [M, G]
+
+    in_specs = [
+        pl.BlockSpec((bm, K), ix_plain(lambda m, n, k: (m, 0)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(lead1 + (bk2, bn), ix(lambda m, n, k: (k, n)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(lead1 + (gpb, bn), ix(lambda m, n, k: (k, n)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(lead1 + (gpb, bn), ix(lambda m, n, k: (k, n)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(lead1 + (gpb, bn), ix(lambda m, n, k: (nk + k, n)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(lead1 + (gpb, bn), ix(lambda m, n, k: (nk + k, n)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bm, gpb), ix_plain(lambda m, n, k: (m, k)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bm, gpb), ix_plain(lambda m, n, k: (m, nk + k)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(lead1 + (1, bn), ix(lambda m, n, k: (0, n)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bm, 1), ix_plain(lambda m, n, k: (m, 0)),
+                     memory_space=pltpu.VMEM),
+    ]
+    s1 = s1_scale.reshape(*s1_scale.shape[:lead], 1, N)
+    return _maybe_stacked_call(
+        functools.partial(_w4a8_grp_kernel, nk=nk, bk2=bk2, k_half=K2,
+                          group=group_size, lead=lead),
+        grid, in_specs,
+        pl.BlockSpec((bm, bn), ix_plain(lambda m, n, k: (m, n)),
+                     memory_space=pltpu.VMEM),
+        jax.ShapeDtypeStruct((M, N), out_dtype),
+        [pltpu.VMEM((bm, bn), jnp.int32)],
+        pl.CostEstimate(
+            flops=2 * M * N * K,
+            bytes_accessed=M * K + nb * (K * N // 2) + M * N * 2,
+            transcendentals=0,
+        ),
+        (a_i8, qweight_packed, s2_scale, s2_zero, s2_scale, s2_zero,
+         gsum, gsum, s1, a_scale.reshape(M, 1)),
+        block_idx, per_block=True,
+    )
+
+
+@register_pallas("w4a8_gemm_per_group_routed")
+def _w4a8_grp_routed_dispatch(a_i8, a_scale, qw, s2s, s2z, s1, block_idx,
+                              group_size, out_dtype):
+    K2 = a_i8.shape[1] // 2
+    if K2 % (8 * group_size) != 0:
+        return None  # ragged group counts: XLA routed fallback
+    return w4a8_gemm_per_group_routed_pallas(
+        a_i8, a_scale, qw, s2s, s2z, s1, block_idx, group_size, out_dtype
+    )

@@ -93,15 +93,15 @@ def apply_linear(
 
 
 def supports_routed(p: LinearParams) -> bool:
-    """Can apply_linear_routed run this flavor? (W4Grp keeps the masked
-    dense path: the two-level s2/z2 ladder has no grouped kernel yet.)"""
-    return isinstance(p, (W4ChnLinear, W8Linear, W16Linear))
+    """Can apply_linear_routed run this flavor? (All current flavors.)"""
+    return isinstance(p, (W4ChnLinear, W4GrpLinear, W8Linear, W16Linear))
 
 
 def apply_linear_routed(
     p: LinearParams,
     x: Union[QuantAct, jax.Array],
     block_idx: jax.Array,  # int32 [nb, d]: M block m's ((layer,) expert)
+    group_size: int = 128,
     out_dtype=jnp.bfloat16,
 ) -> jax.Array:
     """Grouped MoE expert GEMM over a sorted+padded [M, K] token stream:
@@ -117,6 +117,11 @@ def apply_linear_routed(
         return ops.w4a8_gemm_per_chn_routed(
             x.q, x.scale, x.asum, p.qweight, p.s1_scale, p.s1_szero,
             block_idx, out_dtype,
+        )
+    if isinstance(p, W4GrpLinear):
+        return ops.w4a8_gemm_per_group_routed(
+            x.q, x.scale, p.qweight, p.s2_scale, p.s2_zero, p.s1_scale,
+            block_idx, group_size, out_dtype,
         )
     if isinstance(p, W8Linear):
         return ops.w8a8_gemm_routed(

@@ -394,7 +394,7 @@ def _moe_mlp(lp: MoELayerParams, h: jax.Array, args: LlamaArgs,
         and lin.supports_routed(lp.down)
     ):
         return _moe_routed_ffn(
-            lp, x, topv, topi, args, int8_act, li=li, stacked=stacked
+            lp, x, topv, topi, args, int8_act, gs, li=li, stacked=stacked
         )
 
     if int8_act:
@@ -419,7 +419,7 @@ def _moe_mlp(lp: MoELayerParams, h: jax.Array, args: LlamaArgs,
 
 def _moe_routed_ffn(lp: MoELayerParams, x: jax.Array, topv: jax.Array,
                     topi: jax.Array, args: LlamaArgs, int8_act: bool,
-                    li=None, stacked: bool = False) -> jax.Array:
+                    gs: int = 128, li=None, stacked: bool = False) -> jax.Array:
     """Routed (grouped-GEMM) expert dispatch for long token streams.
 
     Tokens sort by assigned expert into a padded stream where every
@@ -476,16 +476,16 @@ def _moe_routed_ffn(lp: MoELayerParams, x: jax.Array, topv: jax.Array,
             if qsum is not None else None
         )
         gu = lin.apply_linear_routed(
-            lp.gate_up, lin.QuantAct(qp, qsp, qsump), block_idx
+            lp.gate_up, lin.QuantAct(qp, qsp, qsump), block_idx, gs
         )
         y8, ysc, ysum = ops.silu_mul_quant(gu, lin.needs_act_sum(lp.down))
         d = lin.apply_linear_routed(
-            lp.down, lin.QuantAct(y8, ysc, ysum), block_idx
+            lp.down, lin.QuantAct(y8, ysc, ysum), block_idx, gs
         )
     else:
         xp = jnp.zeros((P, E), x.dtype).at[dest].set(x[st])
-        gu = lin.apply_linear_routed(lp.gate_up, xp, block_idx)
-        d = lin.apply_linear_routed(lp.down, ops.silu_mul(gu), block_idx)
+        gu = lin.apply_linear_routed(lp.gate_up, xp, block_idx, gs)
+        d = lin.apply_linear_routed(lp.down, ops.silu_mul(gu), block_idx, gs)
 
     return (
         jnp.zeros((T, args.hidden_size), jnp.float32)

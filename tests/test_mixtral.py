@@ -91,13 +91,17 @@ class TestMoEParity:
 
 
 class TestRouting:
-    @pytest.mark.parametrize("precision", ["w4a8kv4", "w8a8kv8", "w16a16kv8"])
-    def test_routed_dispatch_matches_dense(self, float_params, precision):
+    @pytest.mark.parametrize(
+        "precision,gs",
+        [("w4a8kv4", -1), ("w4a8kv4", 32), ("w8a8kv8", -1),
+         ("w16a16kv8", -1)],
+    )
+    def test_routed_dispatch_matches_dense(self, float_params, precision, gs):
         """The grouped-GEMM routed MoE dispatch (prefill) must reproduce the
         masked dense loop: same experts, same math, different schedule."""
         import dataclasses
 
-        args = tiny_args(precision)
+        args = tiny_args(precision, gs)
         params = mixtral.quantize_params(float_params, args)
         rng = np.random.default_rng(3)
         T = 64

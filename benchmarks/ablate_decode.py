@@ -6,17 +6,19 @@ constant-fold the remaining work (memory: zeroed components fold away
 downstream work — here disabled parts are REPLACED by cheap dependent ops).
 
 Usage: python benchmarks/ablate_decode.py [B] [CTX] [variant ...]
-Variants: realstep full noattn noappend nolmhead nogemmo attnonly
+Variants: realstep full noattn noappend nolmhead noelem attnonly
 
 `realstep` is the production step function (sampler included) — its delta
 vs `full` (argmax instead of sampling) isolates the sampler cost, and the
 remaining deltas decompose the rest: attention (full - noattn), append
-(full - noappend), lm_head (full - nolmhead); GEMM+elementwise is what's
-left of noattn after subtracting append+lm_head.
+(full - noappend), lm_head (full - nolmhead), elementwise/quant
+(full - noelem: N5-N7 replaced by dependent casts — the ceiling for any
+Pallas fusion of them); GEMM is what's left.
 """
 
 from __future__ import annotations
 
+import contextlib
 import functools
 import os
 import sys
@@ -31,7 +33,7 @@ import numpy as np
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 128
 CTX = int(sys.argv[2]) if len(sys.argv) > 2 else 1280
 VARIANTS = sys.argv[3:] or [
-    "realstep", "full", "noattn", "noappend", "nolmhead", "attnonly"
+    "realstep", "full", "noattn", "noappend", "nolmhead", "noelem", "attnonly"
 ]
 PAGE = 256
 
@@ -42,10 +44,17 @@ def main():
     from qserve_tpu.layers import linear as lin, rope
     from qserve_tpu.models import llama
 
+    e = os.environ.get
     args = llama.LlamaArgs(
-        vocab_size=128256, hidden_size=4096, intermediate_size=14336,
-        num_layers=32, num_heads=32, num_kv_heads=8, head_dim=128,
-        rope_theta=500000.0, quant=QuantSpec.from_precision("w4a8kv4"),
+        vocab_size=int(e("QSERVE_ABL_VOCAB", 128256)),
+        hidden_size=int(e("QSERVE_ABL_HIDDEN", 4096)),
+        intermediate_size=int(e("QSERVE_ABL_INTER", 14336)),
+        num_layers=int(e("QSERVE_ABL_LAYERS", 32)),
+        num_heads=int(e("QSERVE_ABL_HEADS", 32)),
+        num_kv_heads=int(e("QSERVE_ABL_KVHEADS", 8)),
+        head_dim=128,
+        rope_theta=500000.0,
+        quant=QuantSpec.from_precision(e("QSERVE_ABL_PRECISION", "w4a8kv4")),
     )
     maxP = -(-(CTX + 64) // PAGE)
     params = llama.random_quantized_params(jax.random.PRNGKey(0), args)
@@ -116,9 +125,9 @@ def main():
 
         def attn_only(params, kv, token_ids, block_tables, context_lens):
             h = params.embed[token_ids].astype(jnp.bfloat16)
-            q = jnp.tile(h[:, :128][:, None, :], (1, 32, 1))
-            k = q[:, :8] * 0.5
-            v = q[:, :8] * 0.25
+            q = jnp.tile(h[:, :128][:, None, :], (1, args.num_heads, 1))
+            k = q[:, : args.num_kv_heads] * 0.5
+            v = q[:, : args.num_kv_heads] * 0.25
 
             def body(carry, li):
                 o = attention.paged_decode_attention(
@@ -148,7 +157,15 @@ def main():
             np.asarray(tok)
             return time.time() - t0
 
-        chain(3, tok0)  # compile + warm
+        if variant == "noelem":
+            sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+            from ablate_prefill import _elementwise_stubs
+
+            ctx = _elementwise_stubs(ops)
+        else:
+            ctx = contextlib.nullcontext()
+        with ctx:
+            chain(3, tok0)  # compile + warm (trace under stubs if any)
         t_short = chain(4, tok0)
         t_long = chain(16, tok0)
         dt = (t_long - t_short) / 12

@@ -418,8 +418,8 @@ def _w4a8_grp_kernel(a_ref, w_ref, s2s_lo_ref, s2z_lo_ref, s2s_hi_ref,
     s2z_lo = _blk(s2z_lo_ref, lead).astype(jnp.int32)
     s2s_hi = _blk(s2s_hi_ref, lead).astype(jnp.int32)
     s2z_hi = _blk(s2z_hi_ref, lead).astype(jnp.int32)
-    acc_ref[:] += plane(k * bk2, lo, s2s_lo, s2z_lo, gsum_lo_ref[:])
-    acc_ref[:] += plane(k_half + k * bk2, hi, s2s_hi, s2z_hi, gsum_hi_ref[:])
+    acc_ref[:] += plane(k * bk2, lo, s2s_lo, s2z_lo, gsum_lo_ref[0])
+    acc_ref[:] += plane(k_half + k * bk2, hi, s2s_hi, s2z_hi, gsum_hi_ref[0])
 
     @pl.when(k == nk - 1)
     def _():
@@ -451,11 +451,14 @@ def w4a8_gemm_per_group_pallas(
     ix, ix_plain = _ix_maps(idx, lead)
 
     # per-group activation row-sums, computed ONCE in batched XLA instead of
-    # per (n, k) grid step on the kernel's VPU: [M, G] with the low-nibble
-    # plane's groups first (global half-split row order)
+    # per (n, k) grid step on the kernel's VPU. Relayout [M, G] -> [2*nk, M,
+    # gpb] so each k grid step's block is a FULL-lane tile (lane blocks of
+    # gpb over a [M, G] array violate Mosaic's %128-or-full lane rule);
+    # leading index k = lo-plane block, nk + k = hi-plane block.
     gsum = jnp.sum(
         a_i8.astype(jnp.int32).reshape(M, G, group_size), axis=2
     )  # [M, G] — groups in K order; lo plane = first G/2, hi = last G/2
+    gsum3 = gsum.reshape(M, 2 * nk, gpb).transpose(1, 0, 2)
 
     in_specs = [
         pl.BlockSpec((bm, K), ix_plain(lambda m, n, k: (m, 0)),
@@ -473,9 +476,9 @@ def w4a8_gemm_per_group_pallas(
                      memory_space=pltpu.VMEM),
         pl.BlockSpec(lead1 + (gpb, bn), ix(lambda m, n, k: (nk + k, n)),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((bm, gpb), ix_plain(lambda m, n, k: (m, k)),
+        pl.BlockSpec((1, bm, gpb), ix_plain(lambda m, n, k: (k, m, 0)),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((bm, gpb), ix_plain(lambda m, n, k: (m, nk + k)),
+        pl.BlockSpec((1, bm, gpb), ix_plain(lambda m, n, k: (nk + k, m, 0)),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec(lead1 + (1, bn), ix(lambda m, n, k: (0, n)),
                      memory_space=pltpu.VMEM),
@@ -497,7 +500,7 @@ def w4a8_gemm_per_group_pallas(
             transcendentals=0,
         ),
         (a_i8, qweight_packed, s2_scale, s2_zero, s2_scale, s2_zero,
-         gsum, gsum, s1, a_scale.reshape(M, 1)),
+         gsum3, gsum3, s1, a_scale.reshape(M, 1)),
         idx,
     )
 
@@ -851,6 +854,8 @@ def w4a8_gemm_per_group_routed_pallas(
     gsum = jnp.sum(
         a_i8.astype(jnp.int32).reshape(M, G, group_size), axis=2
     )  # [M, G]
+    # full-lane gsum tiles per k block (see w4a8_gemm_per_group_pallas)
+    gsum3 = gsum.reshape(M, 2 * nk, gpb).transpose(1, 0, 2)
 
     in_specs = [
         pl.BlockSpec((bm, K), ix_plain(lambda m, n, k: (m, 0)),
@@ -865,9 +870,9 @@ def w4a8_gemm_per_group_routed_pallas(
                      memory_space=pltpu.VMEM),
         pl.BlockSpec(lead1 + (gpb, bn), ix(lambda m, n, k: (nk + k, n)),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((bm, gpb), ix_plain(lambda m, n, k: (m, k)),
+        pl.BlockSpec((1, bm, gpb), ix_plain(lambda m, n, k: (k, m, 0)),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((bm, gpb), ix_plain(lambda m, n, k: (m, nk + k)),
+        pl.BlockSpec((1, bm, gpb), ix_plain(lambda m, n, k: (nk + k, m, 0)),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec(lead1 + (1, bn), ix(lambda m, n, k: (0, n)),
                      memory_space=pltpu.VMEM),
@@ -889,7 +894,7 @@ def w4a8_gemm_per_group_routed_pallas(
             transcendentals=0,
         ),
         (a_i8, qweight_packed, s2_scale, s2_zero, s2_scale, s2_zero,
-         gsum, gsum, s1, a_scale.reshape(M, 1)),
+         gsum3, gsum3, s1, a_scale.reshape(M, 1)),
         block_idx, per_block=True,
     )
 

@@ -123,3 +123,60 @@ class TestFastPathExactness:
         keep, _ = _kept_set_reference(logits, 0.7, 0.8, 5)
         toks = _draw(logits, 0.7, 0.8, 5, 1000, seed=3)
         assert keep[toks].all()
+
+
+class TestThresholdMask:
+    """The bisection slow path must keep EXACTLY the sorted-rule sets."""
+
+    def _mask(self, logits, topp, topk):
+        B = logits.shape[0]
+        out = sampler.threshold_mask(
+            jnp.asarray(logits, jnp.float32),
+            jnp.full((B,), topp, jnp.float32),
+            jnp.full((B,), topk, jnp.int32),
+        )
+        return np.asarray(out) > sampler.NEG_INF / 2
+
+    @pytest.mark.parametrize(
+        "topp,topk,scale",
+        [
+            (0.9, 0, 2.0),     # nucleus only, peaked
+            (0.99, 0, 0.01),   # near-uniform heavy tail (the slow case)
+            (1.0, 40, 1.0),    # top-k only
+            (0.95, 20, 1.5),   # both
+            (1.0, 0, 1.0),     # keep-all (raw)
+            (0.0, 0, 2.0),     # degenerate p -> keeps the argmax only
+        ],
+    )
+    def test_kept_sets_match_sorted_rule(self, topp, topk, scale):
+        rng = np.random.default_rng(11)
+        logits = (rng.standard_normal((4, 512)) * scale).astype(np.float32)
+        got = self._mask(logits, topp, topk)
+        for b in range(4):
+            want, _ = _kept_set_reference(logits[b], 1.0, max(topp, 1e-9), topk)
+            np.testing.assert_array_equal(
+                got[b], want, err_msg=f"row {b} topp={topp} topk={topk}"
+            )
+
+    def test_ties_at_the_boundary_keep_all_ties(self):
+        # 5 equal logits at the top; top_k=3 must keep all 5 (the
+        # reference's `scaled >= kth` semantics keeps kth-value ties)
+        logits = np.full((1, 64), -4.0, np.float32)
+        logits[0, :5] = 1.0
+        got = self._mask(logits, 1.0, 3)
+        assert got[0, :5].all() and not got[0, 5:].any()
+
+    def test_threshold_sampling_support(self):
+        """Draws from _sample_threshold stay inside the exact kept set."""
+        rng = np.random.default_rng(13)
+        logits = (rng.standard_normal(512) * 0.01).astype(np.float32)
+        keep, _ = _kept_set_reference(logits, 1.0, 0.97, 0)
+        l = jnp.tile(jnp.asarray(logits)[None, :], (1024, 1))
+        toks = np.asarray(
+            sampler._sample_threshold(
+                l, jnp.full((1024,), 0.97), jnp.zeros((1024,), jnp.int32),
+                jax.random.PRNGKey(3),
+            )
+        )
+        assert keep[toks].all()
+        assert len(np.unique(toks)) > sampler.TOPC // 2

@@ -7,6 +7,8 @@ downstream work — here disabled parts are REPLACED by cheap dependent ops).
 
 Usage: python benchmarks/ablate_decode.py [B] [CTX] [variant ...]
 Variants: realstep full noattn noappend nolmhead noelem attnonly
+Combined variants join parts with '+', e.g. noattn+noelem+noappend+nolmhead
+(= GEMMs + embed + residuals + dispatch floor).
 
 `realstep` is the production step function (sampler included) — its delta
 vs `full` (argmax instead of sampling) isolates the sampler cost, and the
@@ -72,6 +74,8 @@ def main():
     tok0 = jnp.arange(B, dtype=jnp.int32) % args.vocab_size
 
     def make_decode(variant):
+        parts = set(variant.split("+"))
+
         def decode(params, kv, token_ids, block_tables, context_lens):
             ps = kv.page_size
             positions = context_lens - 1
@@ -83,7 +87,7 @@ def main():
             cos, sin = rope.rope_cos_sin(positions, args.head_dim, args.rope_theta)
 
             def attend(q, k, v, li):
-                if variant == "noattn":
+                if "noattn" in parts:
                     # cheap dependent stand-in: keeps q/k/v alive
                     return q + k.mean() + v.mean()
                 return attention.paged_decode_attention(
@@ -92,7 +96,7 @@ def main():
                 )
 
             h, (k_all, v_all) = llama._run_layers(params, h, cos, sin, args, attend)
-            if variant == "noappend":
+            if "noappend" in parts:
                 kv2 = kv  # appends skipped (k_all/v_all still computed)
             else:
                 kv2 = kvc.append_all_layers(
@@ -100,7 +104,7 @@ def main():
                     args.quant.kv_bits, True, unique_pages=True,
                 )
             h = ops.rmsnorm(h, params.final_ln, args.rms_eps)
-            if variant == "nolmhead":
+            if "nolmhead" in parts:
                 return h.sum(axis=-1).astype(jnp.float32), kv2
             logits = ops.matmul(h, params.lm_head, jnp.float32)
             return jnp.argmax(logits, axis=-1).astype(jnp.float32), kv2
@@ -108,7 +112,9 @@ def main():
         def realstep(params, kv, token_ids, block_tables, context_lens):
             """The production decode step: llama.decode + the real sampler
             (temperature/top-p/top-k vectors), exactly what the engine jits
-            (worker/model_runner._decode_step)."""
+            (worker/model_runner._decode_step). Sampling params come from
+            QSERVE_ABL_{TEMP,TOPP,TOPK} so deltas between configs isolate
+            the sampler's fast path vs its bisection slow path."""
             from qserve_tpu.layers import sampler as sampler_mod
 
             logits, kv2 = llama.decode(
@@ -116,9 +122,9 @@ def main():
             )
             toks = sampler_mod.sample(
                 logits,
-                jnp.full((B,), 0.7, jnp.float32),
-                jnp.full((B,), 0.9, jnp.float32),
-                jnp.zeros((B,), jnp.int32),
+                jnp.full((B,), float(e("QSERVE_ABL_TEMP", 0.7)), jnp.float32),
+                jnp.full((B,), float(e("QSERVE_ABL_TOPP", 0.9)), jnp.float32),
+                jnp.full((B,), int(e("QSERVE_ABL_TOPK", 0)), jnp.int32),
                 jax.random.PRNGKey(0),
             )
             return toks.astype(jnp.float32), kv2
@@ -157,7 +163,7 @@ def main():
             np.asarray(tok)
             return time.time() - t0
 
-        if variant == "noelem":
+        if "noelem" in variant.split("+"):
             sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
             from ablate_prefill import _elementwise_stubs
 

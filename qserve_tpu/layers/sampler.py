@@ -4,16 +4,21 @@ Improves on the reference Sampler (modeling/layers/sampler.py:47-93), which is
 constructed once per model with *fixed* SamplingParams: here temperature /
 top-k / top-p are per-request vectors so heterogeneous requests batch together.
 
-TPU cost model: a full [B, V] sort at V=128K is hundreds of bitonic passes —
-milliseconds per decode step, paid even by greedy batches (jnp.where computes
-both branches). sample() therefore works on the top-C=256 candidates from ONE
-lax.top_k pass, which is mathematically EXACT whenever the kept set closes
-inside C (top_k <= C, or the top-C nucleus mass already reaches top_p — true
-for every real serving distribution). The heavy-tail remainder (e.g. a
-near-uniform distribution whose nucleus never closes in C) falls back under
-a lax.cond to _sample_threshold: the exact kept sets found by streaming
-8-ary bisection on the threshold value — O(passes * B * V) fused reduction
-passes, no sort (two full V=128K sorts measured ~50 ms/step at B=128).
+TPU cost model (measured via chained-step differencing on v5e at
+[B=128, V=128256]): a full [B, V] sort is ~26 ms; `lax.top_k(C=256)` is
+~12.6 ms (it is NOT cheap on TPU — an earlier top-C candidate fast path
+paid that every step); a fused full-row reduction pass (argmax, logsumexp,
+Gumbel categorical) is ~0.1-0.35 ms.  sample() therefore never sorts and
+never calls top_k: the exact top-k / top-p kept sets are found by streaming
+8-ary bisection on the threshold value (~0.3 ms per fused [B, V] pass,
+~4 ms for a full 14-pass bisect), and the draw is one Gumbel-style
+categorical over the masked row.  Each bisect runs under a lax.cond so
+batches that don't use that filter skip it entirely:
+
+  all greedy                  -> argmax only (~free)
+  raw temperature (p>=1, k off) -> + one full-row categorical (~0.35 ms)
+  top-p active                -> + one 14-pass bisect (~4 ms)
+  top-k active                -> + one more bisect (~4 ms)
 """
 
 from __future__ import annotations
@@ -22,14 +27,13 @@ import jax
 import jax.numpy as jnp
 
 NEG_INF = -1e30
-TOPC = 256  # candidate window; kept sets close inside it in practice
 
 
 def _sample_full_sort(scaled, top_p, top_k, key):
     """Reference path: exact for any (top_k, top_p) via two full sorts.
 
-    Kept only as the parity oracle for tests — the serving slow path is
-    _sample_threshold (same kept sets, no sort)."""
+    Kept only as the parity oracle for tests — serving uses the sort-free
+    threshold bisection (same kept sets)."""
     B, V = scaled.shape
     sorted_l = jnp.sort(scaled, axis=-1)[:, ::-1]
     k = jnp.where(top_k <= 0, V, top_k)
@@ -58,6 +62,9 @@ def _bisect_threshold(values, weights, target, lo0, hi0):
     invariant f(lo) >= target (and f just above lo < target), so the kept
     set {values > lo} is EXACTLY {x : f(values[x]) < target}.
 
+    weights=None means counting (all-ones weights) without reading a
+    materialized ones array — saves a [B, V] f32 stream per pass.
+
     Each pass evaluates f at 8 interior points in one fused streaming
     reduction over [B, V] — sort-free, O(passes * B * V) bandwidth. If
     f(lo0) < target already (e.g. top_p = 1 and total mass < 1 in f32),
@@ -70,7 +77,12 @@ def _bisect_threshold(values, weights, target, lo0, hi0):
         lo, hi = lohi
         ts = lo[:, None] + (hi - lo)[:, None] * frac[None, :]  # [B, S]
         gt = values[:, :, None] > ts[:, None, :]  # [B, V, S] (fused)
-        f = jnp.sum(jnp.where(gt, weights[:, :, None], 0.0), axis=1)  # [B, S]
+        if weights is None:
+            f = jnp.sum(gt.astype(jnp.float32), axis=1)  # [B, S]
+        else:
+            f = jnp.sum(
+                jnp.where(gt, weights[:, :, None], 0.0), axis=1
+            )  # [B, S]
         ge = f >= target[:, None]  # monotone non-increasing along S
         lo = jnp.max(jnp.where(ge, ts, lo[:, None]), axis=1)
         hi = jnp.min(jnp.where(ge, hi[:, None], ts), axis=1)
@@ -83,7 +95,8 @@ def _bisect_threshold(values, weights, target, lo0, hi0):
 def threshold_mask(scaled, top_p, top_k):
     """Masked logits keeping exactly the reference top-k/top-p sets
     (tokens kept while cum - prob < top_p on the top-k-masked, renormalized
-    distribution), computed by streaming bisection instead of sorting."""
+    distribution), computed by streaming bisection instead of sorting.
+    Each bisect is skipped (lax.cond) when no row uses that filter."""
     B, V = scaled.shape
     rowmax = jnp.max(scaled, axis=-1)
     rowmin = jnp.min(scaled, axis=-1)
@@ -93,7 +106,7 @@ def threshold_mask(scaled, top_p, top_k):
         # kept = {x : count(values > scaled[x]) < k} — the k largest plus
         # any ties of the k-th value (reference `scaled >= kth` semantics)
         lo = _bisect_threshold(
-            scaled, jnp.ones_like(scaled), k_eff.astype(jnp.float32),
+            scaled, None, k_eff.astype(jnp.float32),
             rowmin - 1.0, rowmax,
         )
         return scaled > lo[:, None]
@@ -103,21 +116,25 @@ def threshold_mask(scaled, top_p, top_k):
         lambda _: jnp.ones(scaled.shape, bool), operand=None,
     )
     masked = jnp.where(mask1, scaled, jnp.float32(NEG_INF))
-    lse = jax.nn.logsumexp(masked, axis=-1, keepdims=True)
-    probs = jnp.exp(masked - lse)  # excluded rows -> exactly 0
-    # keep x while mass(strictly greater) < top_p; the 1e-9 floor keeps the
-    # argmax row even at top_p == 0 (the reference cum-rule always keeps
-    # the first sorted token)
-    target = jnp.maximum(top_p, 1e-9)
-    m_min = jnp.min(jnp.where(mask1, scaled, jnp.inf), axis=-1)
-    lo_p = _bisect_threshold(masked, probs, target, m_min - 1.0, rowmax)
-    return jnp.where(masked > lo_p[:, None], masked, jnp.float32(NEG_INF))
+
+    def with_topp(_):
+        lse = jax.nn.logsumexp(masked, axis=-1, keepdims=True)
+        probs = jnp.exp(masked - lse)  # excluded rows -> exactly 0
+        # keep x while mass(strictly greater) < top_p; the 1e-9 floor keeps
+        # the argmax row even at top_p == 0 (the reference cum-rule always
+        # keeps the first sorted token)
+        target = jnp.maximum(top_p, 1e-9)
+        m_min = jnp.min(jnp.where(mask1, scaled, jnp.inf), axis=-1)
+        lo_p = _bisect_threshold(masked, probs, target, m_min - 1.0, rowmax)
+        return jnp.where(masked > lo_p[:, None], masked, jnp.float32(NEG_INF))
+
+    return jax.lax.cond(
+        jnp.any(top_p < 1.0), with_topp, lambda _: masked, operand=None
+    )
 
 
 def _sample_threshold(scaled, top_p, top_k, key):
-    """Exact slow path without sorts: bisected thresholds + one categorical.
-    ~tens of streaming passes over [B, V] vs two full V=128K sorts (the
-    sort path measured ~50 ms/step at B=128 on v5e)."""
+    """Exact path without sorts: bisected thresholds + one categorical."""
     return jax.random.categorical(
         key, threshold_mask(scaled, top_p, top_k), axis=-1
     ).astype(jnp.int32)
@@ -141,80 +158,40 @@ def sample(
         return greedy_ids
 
     def mixed(_):
-        return _sample_stochastic(
-            logits, greedy_ids, temperature, top_p, top_k, key
-        )
+        return _sample_stochastic(logits, temperature, top_p, top_k, key)
 
     # all-greedy batches (offline serving / benchmarking) skip the whole
     # sampling computation — jnp.where alone would still evaluate it
-    return jax.lax.cond(
+    sampled = jax.lax.cond(
         jnp.all(temperature <= 0.0), all_greedy, mixed, operand=None
     )
+    return jnp.where(temperature <= 0.0, greedy_ids, sampled)
 
 
-def _sample_stochastic(logits, greedy_ids, temperature, top_p, top_k, key):
+def _sample_stochastic(logits, temperature, top_p, top_k, key):
     B, V = logits.shape
     temp = jnp.maximum(temperature, 1e-6)[:, None]
     scaled = logits / temp
 
-    C = min(TOPC, V)
-    vals, idxs = jax.lax.top_k(scaled, C)  # [B, C] descending
-    lse_full = jax.nn.logsumexp(scaled, axis=-1, keepdims=True)
+    k_eff = jnp.where(top_k <= 0, V, jnp.clip(top_k, 1, V))
+    # rows with any filter active (greedy rows report inactive: their
+    # result is discarded by the caller, so they must never force the
+    # bisect branch on their own)
+    sampling = temperature > 0.0
+    filtered = sampling & ((k_eff < V) | (top_p < 1.0))
 
-    k_eff = jnp.where(top_k <= 0, V, jnp.clip(top_k, 1, V))  # [B]
-    k_in_c = k_eff <= C
-    ranks = jnp.arange(C, dtype=jnp.int32)[None, :]
-    vals_k = jnp.where(ranks < jnp.minimum(k_eff, C)[:, None], vals, NEG_INF)
-    # log-normalizer of the k-masked distribution: exact when the kept set
-    # lies inside C; otherwise the mask keeps everything -> full-vocab lse
-    lse_k = jnp.where(
-        k_in_c[:, None],
-        jax.nn.logsumexp(vals_k, axis=-1, keepdims=True),
-        lse_full,
+    def raw_only(_):
+        # raw temperature sampling: one fused Gumbel categorical over the
+        # full row (~0.35 ms at [128, 128256]) — no thresholds needed
+        return jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
+
+    def with_filters(_):
+        # zero out the filters on non-filtered rows so the bisect conds
+        # inside threshold_mask see exactly the rows that need them
+        p_eff = jnp.where(filtered, top_p, 1.0)
+        k_in = jnp.where(filtered, top_k, 0)
+        return _sample_threshold(scaled, p_eff, k_in, key)
+
+    return jax.lax.cond(
+        jnp.any(filtered), with_filters, raw_only, operand=None
     )
-    probs_k = jnp.exp(vals_k - lse_k)  # [B, C], desc order
-    cum = jnp.cumsum(probs_k, axis=-1)
-    cutoff = (cum - probs_k) < top_p[:, None]
-    thresh = jnp.min(
-        jnp.where(cutoff, vals_k, jnp.inf), axis=-1, keepdims=True
-    )
-    final_c = jnp.where(vals_k >= thresh, vals_k, NEG_INF)
-    choice = jax.random.categorical(key, final_c, axis=-1)
-    fast_ids = jnp.take_along_axis(idxs, choice[:, None], axis=-1)[:, 0]
-
-    # raw temperature sampling (both filters disabled): no candidate window
-    # needed — one categorical over the full row, still sort-free. Gated:
-    # a full-vocab categorical is milliseconds at V=128K, so batches with
-    # no raw rows must not pay it.
-    p_off = top_p >= 1.0
-    k_eff_v = jnp.where(top_k <= 0, V, jnp.clip(top_k, 1, V))
-    row_raw = (k_eff_v >= V) & p_off
-    raw_ids = jax.lax.cond(
-        jnp.any(row_raw),
-        lambda _: jax.random.categorical(
-            jax.random.fold_in(key, 1), scaled, axis=-1
-        ).astype(jnp.int32),
-        lambda _: jnp.zeros((B,), jnp.int32),
-        operand=None,
-    )
-
-    # per-row exactness of the fast path: kept set closed inside C, either
-    # because top-k did (k_in_c) or because top-k is DISABLED and the top-C
-    # nucleus mass reached top_p before the window ended. (With C < k < V
-    # the nucleus renormalizes over the unknowable top-k mass -> slow path.)
-    nucleus_closed = cum[:, -1] >= top_p
-    row_fast = k_in_c | ((k_eff >= V) & nucleus_closed)
-    # greedy rows discard the sampled value — never let them force the
-    # slow branch
-    covered = row_fast | row_raw | (temperature <= 0.0)
-
-    def fast(_):
-        return jnp.where(row_raw, raw_ids, fast_ids.astype(jnp.int32))
-
-    def slow(_):
-        exact = _sample_threshold(scaled, top_p, top_k, key)
-        out = jnp.where(row_raw, raw_ids, fast_ids.astype(jnp.int32))
-        return jnp.where(covered, out, exact)
-
-    sampled = jax.lax.cond(jnp.all(covered), fast, slow, operand=None)
-    return jnp.where(temperature <= 0.0, greedy_ids, sampled)

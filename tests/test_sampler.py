@@ -1,6 +1,6 @@
-"""Sampler tests: the top-C candidate fast path must match the exact
-full-sort semantics (support sets and probabilities), including the
-heavy-tail rows that fall back to the full sort under lax.cond."""
+"""Sampler tests: the sort-free threshold-bisection sampler must match
+the exact full-sort semantics (support sets and probabilities), including
+heavy-tail near-uniform rows where the kept set is very wide."""
 
 import jax
 import jax.numpy as jnp
@@ -59,8 +59,8 @@ class TestGreedy:
         np.testing.assert_array_equal(np.asarray(toks), logits.argmax(-1))
 
 
-class TestFastPathExactness:
-    """V=512 > C=256 so the candidate window genuinely truncates."""
+class TestSampleExactness:
+    """V=512 keeps the oracle cheap while exercising wide kept sets."""
 
     @pytest.mark.parametrize(
         "temp,topp,topk",
@@ -69,7 +69,7 @@ class TestFastPathExactness:
             (1.0, 1.0, 50),   # top-k inside C, nucleus off
             (0.7, 0.95, 20),  # both filters
             (1.2, 1.0, 0),    # raw temperature sampling (no filters)
-            (0.9, 0.9, 300),  # top-k BEYOND C -> cond fallback for p<1
+            (0.9, 0.9, 300),  # wide top-k plus nucleus
         ],
     )
     def test_support_and_distribution(self, temp, topp, topk):
@@ -87,18 +87,18 @@ class TestFastPathExactness:
         tol = 4 * np.sqrt(p_mode * (1 - p_mode) / n) + 1e-3
         assert abs(emp - p_mode) < tol, (emp, p_mode, tol)
 
-    def test_heavy_tail_falls_back_exactly(self):
-        """Near-uniform logits: top-256 mass < top_p -> slow branch; the
+    def test_heavy_tail_wide_kept_set(self):
+        """Near-uniform logits: the nucleus spans most of the vocab; the
         kept set must still match the exact full-vocab nucleus."""
         rng = np.random.default_rng(5)
         logits = (rng.standard_normal(512) * 0.01).astype(np.float32)
         temp, topp, topk = 1.0, 0.99, 0
         keep, probs = _kept_set_reference(logits, temp, topp, topk)
-        assert keep.sum() > sampler.TOPC  # the case the window can't close
+        assert keep.sum() > 256  # kept set far wider than any candidate window
         toks = _draw(logits, temp, topp, topk, 2000, seed=7)
         assert keep[toks].all()
-        # far more distinct tokens than the C window could produce
-        assert len(np.unique(toks)) > sampler.TOPC // 2
+        # draws genuinely spread over the wide kept set
+        assert len(np.unique(toks)) > 128
 
     def test_mixed_batch_rows_independent(self):
         rng = np.random.default_rng(8)
@@ -117,7 +117,7 @@ class TestFastPathExactness:
         assert keep1[toks[1]] and keep2[toks[2]]
 
     def test_small_vocab_unaffected(self):
-        """V <= C: the window covers everything; spot-check support."""
+        """Small vocab: spot-check support."""
         rng = np.random.default_rng(9)
         logits = (rng.standard_normal(64) * 2).astype(np.float32)
         keep, _ = _kept_set_reference(logits, 0.7, 0.8, 5)
@@ -179,4 +179,4 @@ class TestThresholdMask:
             )
         )
         assert keep[toks].all()
-        assert len(np.unique(toks)) > sampler.TOPC // 2
+        assert len(np.unique(toks)) > 128

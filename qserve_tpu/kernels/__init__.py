@@ -8,6 +8,7 @@ or unavailable (see ops.use_pallas).
 from qserve_tpu.kernels import ops  # noqa: F401
 
 try:  # Pallas kernels register themselves on import
+    from qserve_tpu.kernels import pallas_elementwise  # noqa: F401
     from qserve_tpu.kernels import pallas_flash_attention  # noqa: F401
     from qserve_tpu.kernels import pallas_gemm  # noqa: F401
     from qserve_tpu.kernels import pallas_paged_attention  # noqa: F401

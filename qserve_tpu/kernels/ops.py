@@ -71,7 +71,9 @@ def quant_per_token(
     """fp -> (int8 [T,K], scale f32 [T,1], act-sum f32 [T,1] | None)."""
     fn = _impl("quant_per_token")
     if fn is not None:
-        return fn(x, with_sum)
+        out = fn(x, with_sum)
+        if out is not None:  # None = shape unsupported by the kernel
+            return out
     return qoq.quantize_activation_per_token(x, with_sum)
 
 
@@ -93,7 +95,9 @@ def rmsnorm_quant(
     """RMSNorm fused with per-token INT8 quantization (+ optional act-sum)."""
     fn = _impl("rmsnorm_quant")
     if fn is not None:
-        return fn(x, weight, eps, with_sum)
+        out = fn(x, weight, eps, with_sum)
+        if out is not None:
+            return out
     xf = x.astype(jnp.float32)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)
     y = xf * jax.lax.rsqrt(var + eps) * weight.astype(jnp.float32)
@@ -111,7 +115,9 @@ def silu_mul_quant(
     """[T, 2*I] (gate ++ up) -> silu(gate)*up, quantized per token."""
     fn = _impl("silu_mul_quant")
     if fn is not None:
-        return fn(gate_up, with_sum)
+        out = fn(gate_up, with_sum)
+        if out is not None:
+            return out
     g, u = jnp.split(gate_up.astype(jnp.float32), 2, axis=-1)
     y = jax.nn.silu(g) * u
     return qoq.quantize_activation_per_token(y, with_sum)

@@ -351,3 +351,35 @@ def test_w4a8_grp_ragged_whole_kernel_compiled():
     np.testing.assert_allclose(np.asarray(out, np.float32),
                                np.asarray(ref, np.float32),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_fused_elementwise_quant_compiled_matches_ref():
+    """N5/N6/N7 single-pass fusions through Mosaic: f32->int8 store, [T,1]
+    scale outputs, logistic transcendental, 28K-lane silu blocks."""
+    from qserve_tpu.kernels import pallas_elementwise as pe
+
+    kx, kw = jax.random.split(jax.random.PRNGKey(7))
+    x = jax.random.normal(kx, (128, 4096), jnp.bfloat16)
+    q, s, asum = pe._quant_jit(x, True)
+    want_q, want_s, want_sum = qoq.quantize_activation_per_token(x, True)
+    np.testing.assert_array_equal(np.asarray(q), np.asarray(want_q))
+    np.testing.assert_allclose(np.asarray(s), np.asarray(want_s), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(asum), np.asarray(want_sum),
+                               rtol=1e-4, atol=1e-5)
+
+    w = 1.0 + 0.1 * jax.random.normal(kw, (4096,), jnp.float32)
+    qn, sn, sumn = pe._rmsnorm_quant_jit(x, w, 1e-5, True)
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    y = xf * jax.lax.rsqrt(var + 1e-5) * w
+    wq, ws, wsum = qoq.quantize_activation_per_token(y, True)
+    assert np.abs(np.asarray(qn, np.int32) - np.asarray(wq, np.int32)).max() <= 1
+    np.testing.assert_allclose(np.asarray(sn), np.asarray(ws), rtol=1e-5)
+
+    gu = jax.random.normal(jax.random.PRNGKey(9), (128, 2 * 14336),
+                           jnp.bfloat16)
+    qs, ss, sums = pe._silu_mul_quant_jit(gu, True)
+    g, u = jnp.split(gu.astype(jnp.float32), 2, axis=-1)
+    wq2, ws2, _ = qoq.quantize_activation_per_token(jax.nn.silu(g) * u, True)
+    assert np.abs(np.asarray(qs, np.int32) - np.asarray(wq2, np.int32)).max() <= 1
+    np.testing.assert_allclose(np.asarray(ss), np.asarray(ws2), rtol=1e-5)

@@ -13,6 +13,7 @@ try:  # Pallas kernels register themselves on import
     from qserve_tpu.kernels import pallas_gemm  # noqa: F401
     from qserve_tpu.kernels import pallas_paged_attention  # noqa: F401
     from qserve_tpu.kernels import pallas_prefix_attention  # noqa: F401
+    from qserve_tpu.kernels import pallas_sampler  # noqa: F401
 except Exception as _e:  # pragma: no cover
     import warnings
 

@@ -190,6 +190,13 @@ def _sample_stochastic(logits, temperature, top_p, top_k, key):
         # inside threshold_mask see exactly the rows that need them
         p_eff = jnp.where(filtered, top_p, 1.0)
         k_in = jnp.where(filtered, top_k, 0)
+        from qserve_tpu.kernels import ops
+
+        fn = ops._impl("sample_filtered")
+        if fn is not None:
+            out = fn(scaled, p_eff, k_in, key)
+            if out is not None:  # None = shape unsupported by the kernel
+                return out
         return _sample_threshold(scaled, p_eff, k_in, key)
 
     return jax.lax.cond(

@@ -383,3 +383,31 @@ def test_fused_elementwise_quant_compiled_matches_ref():
     wq2, ws2, _ = qoq.quantize_activation_per_token(jax.nn.silu(g) * u, True)
     assert np.abs(np.asarray(qs, np.int32) - np.asarray(wq2, np.int32)).max() <= 1
     np.testing.assert_allclose(np.asarray(ss), np.asarray(ws2), rtol=1e-5)
+
+
+def test_pallas_sampler_compiled_support_and_determinism():
+    """Filtered-sampling kernel through Mosaic: uint32 key compares, the
+    integer bisection fori_loop, on-core PRNG (prng_seed/prng_random_bits),
+    and the Gumbel-argmax. Checks draws stay inside the exact kept set
+    (vs the XLA threshold_mask oracle) and are key-deterministic."""
+    from qserve_tpu.kernels import pallas_sampler as ps
+    from qserve_tpu.layers import sampler
+
+    B, V = 16, 1024
+    rng = np.random.default_rng(0)
+    scaled = jnp.asarray(rng.normal(0, 2.5, (B, V)).astype(np.float32))
+    tp = jnp.full((B,), 0.9, jnp.float32)
+    tk = jnp.asarray([0, 25] * (B // 2), jnp.int32)
+    toks = np.asarray(
+        ps._sample_filtered_dispatch(scaled, tp, tk, jax.random.PRNGKey(3))
+    )
+    keep = np.asarray(sampler.threshold_mask(scaled, tp, tk)) > -1e29
+    assert all(keep[i, toks[i]] for i in range(B))
+    again = np.asarray(
+        ps._sample_filtered_dispatch(scaled, tp, tk, jax.random.PRNGKey(3))
+    )
+    np.testing.assert_array_equal(toks, again)
+    other = np.asarray(
+        ps._sample_filtered_dispatch(scaled, tp, tk, jax.random.PRNGKey(4))
+    )
+    assert (toks != other).any()

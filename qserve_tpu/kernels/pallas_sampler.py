@@ -7,8 +7,8 @@ modeling/layers/sampler.py:47-93).  The XLA path is HBM-bound: each of the
 measured ~3 ms/step at [128, 128256] on v5e.  Here each kernel instance
 loads its block of rows into VMEM ONCE and runs the entire search locally:
 
-  * logit values are mapped to uint32 keys (sign-flip trick) so the
-    threshold bisection runs on INTEGER keys — 32 halvings converge to
+  * logit values are mapped to monotone int32 keys (sign-flip trick) so
+    the threshold bisection runs on INTEGER keys — 32 halvings converge to
     adjacent representable floats, making the kept sets exact (the XLA
     path needs 14 x 8-ary float passes to get "past f32 resolution");
   * top-k   = counting bisection  f(t) = #{key > t}            >= k
@@ -38,38 +38,57 @@ NEG_INF = -1e30  # matches layers/sampler.NEG_INF
 _ROWS = 8  # rows per kernel instance ([8, 128256] f32 block = 4.1 MB)
 
 
-def _keys_of(x):
-    """Monotone f32 -> uint32 key map (order-preserving for all finite x):
-    non-negative floats keep their bit pattern (+2^31), negative floats get
-    all bits flipped. Adjacent uint32 keys are adjacent representable
-    floats, so integer bisection terminates on exact value boundaries."""
-    bits = pltpu.bitcast(x, jnp.int32)
-    pos = bits >= 0
-    flipped = jnp.where(pos, bits, ~bits)
-    u = pltpu.bitcast(flipped, jnp.uint32)
-    return jnp.where(pos, u + jnp.uint32(0x80000000), u)
+def _bc(x, dtype, interpret):
+    """Same-width bitcast (pltpu.bitcast has no CPU interpret lowering)."""
+    if interpret:
+        return jax.lax.bitcast_convert_type(x, dtype)
+    return pltpu.bitcast(x, dtype)
 
 
-def _bisect_keys(keys, lo, hi, f_of_mid, target):
-    """Largest integer key t in [lo, hi) with f(t) >= target (per row).
+def _keys_of(x, interpret):
+    """Monotone f32 -> int32 key map (order-preserving for all finite x):
+    non-negative floats keep their bit pattern, negative floats get their
+    low 31 bits flipped (reversing the within-negatives order while staying
+    below every non-negative key). Adjacent int32 keys are adjacent
+    representable floats, so integer bisection terminates on exact value
+    boundaries. Mosaic can reduce/compare int32 (not uint32), so the KEYS
+    stay signed; only the bisection interval arithmetic runs in uint32
+    (see _bisect_keys) because the key span can exceed int32 range."""
+    bits = _bc(x, jnp.int32, interpret)
+    return jnp.where(bits >= 0, bits, bits ^ jnp.int32(0x7FFFFFFF))
 
-    Invariant-free start: if f(lo) < target already, every probe fails and
-    lo is returned unchanged (the keep-all answer), matching the XLA
-    bisection's fallback semantics."""
+
+def _bisect_keys(lo_s, hi_s, f_of_mid, target, interpret):
+    """Largest int32 key t in [lo_s, hi_s) with f(t) >= target (per row).
+
+    Interval endpoints are carried as uint32 (key ^ top-bit is a monotone
+    bijection onto unsigned order) so `hi - lo` never overflows; each probe
+    converts back to the signed key for the [R, V] comparison inside
+    f_of_mid. Invariant-free start: if f(lo) < target already, every probe
+    fails and lo is returned unchanged (the keep-all answer), matching the
+    XLA bisection's fallback semantics."""
+
+    top = jnp.uint32(0x80000000)
+
+    def to_u(s):
+        return _bc(s, jnp.uint32, interpret) ^ top
+
+    def to_s(u):
+        return _bc(u ^ top, jnp.int32, interpret)
 
     def body(_, lohi):
         lo, hi = lohi
         mid = lo + jax.lax.shift_right_logical(
             hi - lo, jnp.uint32(1)
         )  # in [lo, hi)
-        f = f_of_mid(mid)
+        f = f_of_mid(to_s(mid))
         ge = f >= target
         lo = jnp.where(ge, mid, lo)
         hi = jnp.where(ge, hi, mid)
         return lo, hi
 
-    lo, _ = jax.lax.fori_loop(0, 32, body, (lo, hi))
-    return lo
+    lo, _ = jax.lax.fori_loop(0, 32, body, (to_u(lo_s), to_u(hi_s)))
+    return to_s(lo)
 
 
 def _sample_kernel(seed_ref, x_ref, keff_ref, p_ref, *rest,
@@ -81,9 +100,10 @@ def _sample_kernel(seed_ref, x_ref, keff_ref, p_ref, *rest,
         gum_ref = None
     else:
         gum_ref, out_ref = rest
+    interpret = not use_prng
     x = x_ref[:].astype(jnp.float32)  # [R, V] scaled logits
     R, V = x.shape
-    keys = _keys_of(x)
+    keys = _keys_of(x, interpret)
     rowmax_k = jnp.max(keys, axis=-1, keepdims=True)
     rowmin_k = jnp.min(keys, axis=-1, keepdims=True)
 
@@ -94,8 +114,8 @@ def _sample_kernel(seed_ref, x_ref, keff_ref, p_ref, *rest,
             return jnp.sum((keys > mid).astype(jnp.float32), axis=-1,
                            keepdims=True)
 
-        lo_k = _bisect_keys(keys, rowmin_k - jnp.uint32(1), rowmax_k,
-                            count_gt, keff_ref[:])
+        lo_k = _bisect_keys(rowmin_k - 1, rowmax_k, count_gt,
+                            keff_ref[:], interpret)
         mask1 = keys > lo_k
     else:
         mask1 = jnp.ones((R, V), dtype=jnp.bool_)
@@ -114,10 +134,12 @@ def _sample_kernel(seed_ref, x_ref, keff_ref, p_ref, *rest,
             return jnp.sum(jnp.where(keys > mid, probs, 0.0), axis=-1,
                            keepdims=True)
 
-        kept_min_k = jnp.min(jnp.where(mask1, keys, jnp.uint32(0xFFFFFFFF)),
-                             axis=-1, keepdims=True)
-        lo_p = _bisect_keys(keys, kept_min_k - jnp.uint32(1), rowmax_k,
-                            mass_gt, p_ref[:])
+        kept_min_k = jnp.min(
+            jnp.where(mask1, keys, jnp.int32(0x7FFFFFFF)),
+            axis=-1, keepdims=True,
+        )
+        lo_p = _bisect_keys(kept_min_k - 1, rowmax_k, mass_gt,
+                            p_ref[:], interpret)
         final = mask1 & (keys > lo_p)
         masked = jnp.where(final, x, jnp.float32(NEG_INF))
 

@@ -147,8 +147,11 @@ def _sample_kernel(seed_ref, x_ref, keff_ref, p_ref, *rest,
     if use_prng:
         pltpu.prng_seed(seed_ref[0], seed_ref[1], pl.program_id(0))
         rb = pltpu.bitcast(pltpu.prng_random_bits((R, V)), jnp.uint32)
-        # 23 high bits -> u in [2^-24, 1): the double log stays finite
-        u = (rb >> jnp.uint32(9)).astype(jnp.float32) * (1.0 / (1 << 23))
+        # 23 high bits -> u in [2^-24, 1): the double log stays finite.
+        # Mosaic has no uint32->f32 cast: the shifted value fits int32,
+        # so bitcast to signed first.
+        ri = pltpu.bitcast(rb >> jnp.uint32(9), jnp.int32)
+        u = ri.astype(jnp.float32) * (1.0 / (1 << 23))
         u = u + jnp.float32(1.0 / (1 << 24))
         g = -jnp.log(-jnp.log(u))
     else:

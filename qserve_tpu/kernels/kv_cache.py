@@ -244,13 +244,32 @@ def append_all_layers(
         stage_idx = jnp.cumsum(boundary.astype(jnp.int32)) - 1  # [T]
         stage_safe = jnp.where(valid & (stage_idx < NS), stage_idx, NS)
         hdc = rows.shape[-1]
-        staged_d = jnp.zeros((L, NS, 2, ps, hdc), jnp.int8)
-        staged_d = staged_d.at[:, stage_safe, :, slots, :].set(
-            jnp.swapaxes(rows, 0, 1), mode="drop"
+        # Payload staging by GATHER, not scatter: a per-token scatter into
+        # the staged pages serializes on TPU (measured ~18 ms of the
+        # 2048-token prefill step). Every staged run fills its page from
+        # slot 0 upward (prompts and chunk continuations are page-aligned),
+        # so the flat staged position j = stage*ps + slot is STRICTLY
+        # INCREASING over valid tokens (padding is trailing) and the inverse
+        # map is a searchsorted; gap/tail slots of partial pages pick up
+        # neighboring-token garbage instead of zeros — those slots are
+        # never read (finite values, masked by context-length everywhere).
+        j = jnp.where(
+            valid & (stage_idx < NS), stage_idx * ps + slots,
+            jnp.int32(1 << 30),
         )
-        staged_s = jnp.zeros((L, NS, 2, 2 * H, ps), cache.scales.dtype)
-        staged_s = staged_s.at[:, stage_safe, :, :, slots].set(
-            jnp.swapaxes(sc, 0, 1), mode="drop"
+        src = jnp.searchsorted(
+            j, jnp.arange(NS * ps, dtype=jnp.int32), side="left"
+        )
+        src = jnp.clip(src, 0, T - 1).astype(jnp.int32)
+        staged_d = (
+            jnp.take(jnp.swapaxes(rows, 1, 2), src, axis=2)
+            .reshape(L, 2, NS, ps, hdc)
+            .transpose(0, 2, 1, 3, 4)
+        )
+        staged_s = (
+            jnp.take(jnp.swapaxes(sc, 1, 2), src, axis=2)
+            .reshape(L, 2, NS, ps, 2 * H)
+            .transpose(0, 2, 1, 4, 3)
         )
         stage_pages = jnp.full((NS + 1,), -1, jnp.int32)
         stage_pages = stage_pages.at[stage_safe].set(page_ids, mode="drop")

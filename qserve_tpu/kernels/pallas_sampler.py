@@ -145,7 +145,11 @@ def _sample_kernel(seed_ref, x_ref, keff_ref, p_ref, *rest,
 
     # Gumbel-argmax draw over the masked row, PRNG on-core
     if use_prng:
-        pltpu.prng_seed(seed_ref[0], seed_ref[1], pl.program_id(0))
+        # Mosaic's prng_set_seed_32 accepts at most 2 values: mix the
+        # grid position into the second word (odd-constant multiply keeps
+        # distinct program ids on distinct streams).
+        mixed = seed_ref[1] ^ (pl.program_id(0) * jnp.int32(-1640531527))
+        pltpu.prng_seed(seed_ref[0], mixed)
         rb = pltpu.bitcast(pltpu.prng_random_bits((R, V)), jnp.uint32)
         # 23 high bits -> u in [2^-24, 1): the double log stays finite.
         # Mosaic has no uint32->f32 cast: the shifted value fits int32,

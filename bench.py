@@ -32,7 +32,8 @@ def model_args(name: str, precision: str):
 
     gs = int(os.environ.get("QSERVE_BENCH_GROUP", "-1"))
     scan = os.environ.get("QSERVE_BENCH_SCAN", "1") == "1"
-    quant = QuantSpec.from_precision(precision, gs)
+    lmh = int(os.environ.get("QSERVE_BENCH_LMHEAD", "16"))
+    quant = QuantSpec.from_precision(precision, gs, lm_head_bits=lmh)
     if name == "8b":  # Llama-3-8B geometry
         return llama.LlamaArgs(
             vocab_size=128256, hidden_size=4096, intermediate_size=14336,

@@ -106,7 +106,7 @@ def main():
             h = ops.rmsnorm(h, params.final_ln, args.rms_eps)
             if "nolmhead" in parts:
                 return h.sum(axis=-1).astype(jnp.float32), kv2
-            logits = ops.matmul(h, params.lm_head, jnp.float32)
+            logits = llama.lm_head_matmul(h, params.lm_head, jnp.float32)
             return jnp.argmax(logits, axis=-1).astype(jnp.float32), kv2
 
         def realstep(params, kv, token_ids, block_tables, context_lens):

@@ -136,7 +136,7 @@ def main():
             if variant == "nolmhead":
                 return h_last.sum(axis=-1).astype(jnp.float32), kv2
             h_last = ops.rmsnorm(h_last, params.final_ln, args.rms_eps)
-            logits = ops.matmul(h_last, params.lm_head, jnp.float32)
+            logits = llama.lm_head_matmul(h_last, params.lm_head, jnp.float32)
             return jnp.argmax(logits, axis=-1).astype(jnp.float32), kv2
 
         return jax.jit(step, donate_argnames=("kv",))

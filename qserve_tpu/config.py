@@ -35,9 +35,14 @@ class QuantSpec:
     kv_bits: int  # 4 or 8
     kv_zero_point: bool = True  # asymmetric KV quant (kv_zp in the reference)
     group_size: int = -1  # -1 = per-channel, else e.g. 128
+    # lm_head weight bits: 16 = bf16 (reference parity: the reference always
+    # serves lm_head fp16); 8 = W8A8 per-channel (beyond-reference: halves the
+    # ~1GB/step of lm_head weight streaming at 8B scale, near-lossless)
+    lm_head_bits: int = 16
 
     @staticmethod
-    def from_precision(precision: str, group_size: int = -1, kv_zp: bool = True):
+    def from_precision(precision: str, group_size: int = -1, kv_zp: bool = True,
+                       lm_head_bits: int = 16):
         p = precision.lower()
         if p not in _PRECISIONS:
             raise ValueError(f"unsupported precision {precision!r}; one of {_PRECISIONS}")
@@ -50,6 +55,7 @@ class QuantSpec:
             kv_bits=int(kv),
             kv_zero_point=kv_zp,
             group_size=group_size,
+            lm_head_bits=lm_head_bits,
         )
 
     @property

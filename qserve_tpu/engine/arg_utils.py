@@ -36,6 +36,7 @@ class EngineArgs:
     precision: str = "w4a8kv4"
     group_size: int = -1
     kv_zero_point: bool = True
+    quant_lm_head: bool = False
     quant_path: Optional[str] = None
     # kv cache (256-token pages keep the Pallas decode-attention kernel on
     # its fast path — page_size % 128 == 0 — and amortize per-page costs;
@@ -78,6 +79,9 @@ class EngineArgs:
         g("--group-size", type=int, default=-1,
           help="-1 per-channel, or e.g. 128 for per-group W4")
         g("--no-kv-zero-point", dest="kv_zero_point", action="store_false")
+        g("--quant-lm-head", action="store_true",
+          help="serve lm_head W8 per-channel (beyond reference: halves the "
+               "logits GEMM's weight stream; near-lossless)")
         g("--quant-path", type=str, default=None,
           help="packed QoQ checkpoint (from the checkpoint converter)")
         g("--block-size", type=int, default=256,
@@ -116,7 +120,8 @@ class EngineArgs:
     # ------------------------------------------------------------------
     def quant_spec(self) -> QuantSpec:
         return QuantSpec.from_precision(
-            self.precision, self.group_size, self.kv_zero_point
+            self.precision, self.group_size, self.kv_zero_point,
+            lm_head_bits=8 if self.quant_lm_head else 16,
         )
 
     def create_engine_configs(self):

@@ -158,12 +158,32 @@ class LlamaParams(NamedTuple):
     embed: jax.Array  # [V, E] bf16
     layers: Any  # LlamaLayerParams stacked [L, ...] (scan) or tuple of them
     final_ln: jax.Array  # [E]
-    lm_head: jax.Array  # [E, V] bf16
+    lm_head: Any  # [E, V] bf16 array, or lin.W8Linear (quant.lm_head_bits=8)
 
 
 # ---------------------------------------------------------------------------
 # Parameter construction
 # ---------------------------------------------------------------------------
+
+
+def make_lm_head(w, qspec) -> Any:
+    """bf16 lm_head (reference parity: the reference serves lm_head fp16,
+    llama_w4a8_unpad.py keeps it half) or W8 per-channel when
+    qspec.lm_head_bits == 8 — halves the dominant per-step weight stream of
+    the logits GEMM (~1GB bf16 at Llama-3-8B's 128K vocab)."""
+    w = jnp.asarray(w)
+    if getattr(qspec, "lm_head_bits", 16) == 8:
+        return lin.quantize_linear_from_float(w.astype(jnp.float32), 8)
+    return w.astype(jnp.bfloat16)
+
+
+def lm_head_matmul(h: jax.Array, lmh, out_dtype) -> jax.Array:
+    """Logits GEMM against either lm_head form (shard-local under TP)."""
+    if isinstance(lmh, lin.W8Linear):
+        q, s, _ = ops.quant_per_token(h, False)
+        return lin.apply_linear(lmh, lin.QuantAct(q, s, None),
+                                out_dtype=out_dtype)
+    return ops.matmul(h, lmh, out_dtype)
 
 
 def random_float_params(key: jax.Array, args: LlamaArgs, scale: float = 0.02):
@@ -225,7 +245,9 @@ def random_quantized_params(key: jax.Array, args: LlamaArgs, scale: float = 0.02
     else:
         layers = tuple(layers)
     embed = (jax.random.normal(keys[-2], (V, E), jnp.bfloat16) * scale)
-    lm_head = (jax.random.normal(keys[-1], (E, V), jnp.bfloat16) * scale)
+    lm_head = make_lm_head(
+        jax.random.normal(keys[-1], (E, V), jnp.bfloat16) * scale, args.quant
+    )
     return LlamaParams(
         embed=embed, layers=layers,
         final_ln=jnp.ones((E,), jnp.float32), lm_head=lm_head,
@@ -258,7 +280,7 @@ def quantize_params(float_params: dict, args: LlamaArgs) -> LlamaParams:
         embed=jnp.asarray(float_params["embed"], jnp.bfloat16),
         layers=layers,
         final_ln=jnp.asarray(float_params["final_ln"], jnp.float32),
-        lm_head=jnp.asarray(float_params["lm_head"], jnp.bfloat16),
+        lm_head=make_lm_head(float_params["lm_head"], args.quant),
     )
 
 
@@ -528,7 +550,7 @@ def _run_layers(params, h, cos, sin, args, attend):
 
 def _lm_head(h: jax.Array, params: LlamaParams, args: LlamaArgs) -> jax.Array:
     """Vocab-column-parallel lm_head; gathers full logits across TP."""
-    logits = ops.matmul(h, params.lm_head, args.logit_dtype)
+    logits = lm_head_matmul(h, params.lm_head, args.logit_dtype)
     if args.tp_size > 1:
         logits = jax.lax.all_gather(logits, args.tp_axis, axis=1, tiled=True)
     return logits
@@ -844,7 +866,7 @@ def teacher_forced_nll(
 
     def body(nll, xs):
         h_c, t_c, m_c = xs
-        logits = ops.matmul(h_c, params.lm_head, jnp.float32)
+        logits = lm_head_matmul(h_c, params.lm_head, jnp.float32)
         if args.tp_size > 1:
             logits = jax.lax.all_gather(logits, args.tp_axis, axis=1, tiled=True)
         lse = jax.nn.logsumexp(logits, axis=-1)

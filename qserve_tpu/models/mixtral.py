@@ -117,7 +117,10 @@ def random_quantized_params(
         embed=jax.random.normal(keys[-2], (V, E), jnp.bfloat16) * scale,
         layers=layers,
         final_ln=jnp.ones((E,), jnp.float32),
-        lm_head=jax.random.normal(keys[-1], (E, V), jnp.bfloat16) * scale,
+        lm_head=llama.make_lm_head(
+            jax.random.normal(keys[-1], (E, V), jnp.bfloat16) * scale,
+            args.quant,
+        ),
     )
 
 
@@ -146,7 +149,7 @@ def quantize_params(float_params: dict, args: llama.LlamaArgs) -> llama.LlamaPar
         embed=jnp.asarray(float_params["embed"], jnp.bfloat16),
         layers=layers,
         final_ln=jnp.asarray(float_params["final_ln"], jnp.float32),
-        lm_head=jnp.asarray(float_params["lm_head"], jnp.bfloat16),
+        lm_head=llama.make_lm_head(float_params["lm_head"], args.quant),
     )
 
 

@@ -235,17 +235,24 @@ def quantize_params_tp(
         stacked = tuple(layers)
         layer_specs = tuple(layer_spec for _ in layers)
 
+    # W8 lm_head quantizes per output channel, so per-shard == global quant
+    # and the vocab-column sharding carries over to (qweight, scale)
+    lm_head = llama.make_lm_head(float_params["lm_head"], args.quant)
+    if isinstance(lm_head, lin.W8Linear):
+        lm_head_spec = lin.W8Linear(qweight=P(None, TP), scale=P(TP))
+    else:
+        lm_head_spec = P(None, TP)
     params = llama.LlamaParams(
         embed=jnp.asarray(float_params["embed"], jnp.bfloat16),
         layers=stacked,
         final_ln=jnp.asarray(float_params["final_ln"], jnp.float32),
-        lm_head=jnp.asarray(float_params["lm_head"], jnp.bfloat16),
+        lm_head=lm_head,
     )
     specs = llama.LlamaParams(
         embed=P(None, None),
         layers=layer_specs,
         final_ln=P(None),
-        lm_head=P(None, TP),
+        lm_head=lm_head_spec,
     )
     return params, specs
 

@@ -250,3 +250,42 @@ class TestGreedyGeneration:
             tok = int(jnp.argmax(logits[0]))
         assert all(0 <= t < args.vocab_size for t in out)
         assert np.isfinite(np.asarray(logits)).all()
+
+
+class TestQuantLmHead:
+    """lm_head_bits=8: W8 per-channel logits GEMM (beyond-reference option)."""
+
+    def test_w8_lm_head_logits_close_to_bf16(self):
+        args16, fp, params16 = fixture("w16a16kv8")
+        quant8 = QuantSpec.from_precision("w16a16kv8", lm_head_bits=8)
+        import dataclasses as _dc
+        args8 = _dc.replace(args16, quant=quant8)
+        params8 = llama.quantize_params(fp, args8)
+        from qserve_tpu.layers import linear as lin
+        assert isinstance(params8.lm_head, lin.W8Linear)
+
+        kv16 = make_cache(args16)
+        kv8 = make_cache(args8)
+        bt = np.array([0, 1, 2, 3], np.int32)
+        l16, _ = run_prefill(args16, params16, kv16, TOKENS, bt)
+        l8, _ = run_prefill(args8, params8, kv8, TOKENS, bt)
+        assert cos_sim(l16, l8) > 0.999
+        # greedy tokens agree on a well-separated distribution
+        assert int(jnp.argmax(l16)) == int(jnp.argmax(l8))
+
+    def test_w8_lm_head_nll_close(self):
+        args16, fp, params16 = fixture("w16a16kv8")
+        import dataclasses as _dc
+        quant8 = QuantSpec.from_precision("w16a16kv8", lm_head_bits=8)
+        args8 = _dc.replace(args16, quant=quant8)
+        params8 = llama.quantize_params(fp, args8)
+        tok = np.zeros(64, np.int32)
+        tok[:len(TOKENS)] = TOKENS
+        n16, c16 = llama.teacher_forced_nll(
+            params16, jnp.asarray(tok), jnp.int32(len(TOKENS)), args16,
+            row_chunk=16)
+        n8, c8 = llama.teacher_forced_nll(
+            params8, jnp.asarray(tok), jnp.int32(len(TOKENS)), args8,
+            row_chunk=16)
+        assert int(c16) == int(c8)
+        assert abs(float(n16) - float(n8)) / max(float(n16), 1e-9) < 0.02

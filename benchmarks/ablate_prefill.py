@@ -39,7 +39,8 @@ PAGE = 256
 @contextlib.contextmanager
 def _elementwise_stubs(ops):
     """Replace N5/N6/N7 with dependent casts for trace time (noelem)."""
-    saved = (ops.rmsnorm_quant, ops.quant_per_token, ops.silu_mul_quant)
+    saved = (ops.rmsnorm_quant, ops.quant_per_token, ops.silu_mul_quant,
+             ops.add_rmsnorm_quant)
 
     def stub_rmsnorm_quant(x, weight, eps=1e-6, with_sum=False):
         q = (x.astype(jnp.float32) + weight[0]).astype(jnp.int8)
@@ -56,13 +57,20 @@ def _elementwise_stubs(ops):
         ones = jnp.ones((gate_up.shape[0], 1), jnp.float32)
         return g.astype(jnp.int8), ones, (ones if with_sum else None)
 
+    def stub_add_rmsnorm_quant(h, delta, weight, eps=1e-6, with_sum=False):
+        h_new = h + delta.astype(h.dtype)
+        q, s, asum = stub_rmsnorm_quant(h_new, weight, eps, with_sum)
+        return h_new, q, s, asum
+
     ops.rmsnorm_quant = stub_rmsnorm_quant
     ops.quant_per_token = stub_quant
     ops.silu_mul_quant = stub_silu_mul_quant
+    ops.add_rmsnorm_quant = stub_add_rmsnorm_quant
     try:
         yield
     finally:
-        ops.rmsnorm_quant, ops.quant_per_token, ops.silu_mul_quant = saved
+        (ops.rmsnorm_quant, ops.quant_per_token, ops.silu_mul_quant,
+         ops.add_rmsnorm_quant) = saved
 
 
 def main():

@@ -89,6 +89,27 @@ def rmsnorm(x: jax.Array, weight: jax.Array, eps: float = 1e-6) -> jax.Array:
     return (y * weight.astype(jnp.float32)).astype(x.dtype)
 
 
+def add_rmsnorm_quant(
+    h: jax.Array, delta: jax.Array, weight: jax.Array,
+    eps: float = 1e-6, with_sum: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array, Optional[jax.Array]]:
+    """Residual add + RMSNorm + per-token INT8 quant in one pass.
+
+    Returns (h_new = h + delta (h.dtype), int8 q, scale, asum|None) — the
+    fused form of the `h = h + o; rmsnorm_quant(h, ...)` pair at both
+    residual sites of a decoder layer."""
+    fn = _impl("add_rmsnorm_quant")
+    if fn is not None:
+        out = fn(h, delta, weight, eps, with_sum)
+        if out is not None:
+            return out
+    h_new = (
+        h.astype(jnp.float32) + delta.astype(jnp.float32)
+    ).astype(h.dtype)
+    q, s, asum = rmsnorm_quant(h_new, weight, eps, with_sum)
+    return h_new, q, s, asum
+
+
 def rmsnorm_quant(
     x: jax.Array, weight: jax.Array, eps: float = 1e-6, with_sum: bool = False
 ) -> Tuple[jax.Array, jax.Array, Optional[jax.Array]]:

@@ -60,6 +60,21 @@ def _rmsnorm_quant_kernel(x_ref, w_ref, q_ref, s_ref, sum_ref, *, eps: float):
     _quantize_store(y, q_ref, s_ref, sum_ref)
 
 
+def _add_rmsnorm_quant_kernel(x_ref, d_ref, w_ref, h_ref, q_ref, s_ref,
+                              sum_ref, *, eps: float):
+    """Residual add fused with RMSNorm->quant: one pass instead of a
+    standalone XLA add fusion (read h + delta, write h_new) followed by the
+    norm kernel re-reading h_new — saves an HBM round trip of the hidden
+    state and a dispatch per residual site (2 per decoder layer)."""
+    hf = x_ref[:].astype(jnp.float32) + d_ref[:].astype(jnp.float32)
+    h_ref[:] = hf.astype(h_ref.dtype)
+    # normalize the ROUNDED residual (exactly what the unfused path reads)
+    hr = h_ref[:].astype(jnp.float32)
+    var = jnp.mean(hr * hr, axis=-1, keepdims=True)
+    y = hr * jax.lax.rsqrt(var + eps) * w_ref[:].astype(jnp.float32)
+    _quantize_store(y, q_ref, s_ref, sum_ref)
+
+
 def _silu_mul_quant_kernel(x_ref, q_ref, s_ref, sum_ref, *, inter: int):
     g = x_ref[:, :inter].astype(jnp.float32)
     u = x_ref[:, inter:].astype(jnp.float32)
@@ -138,6 +153,51 @@ def _rmsnorm_quant_dispatch(x, weight, eps, with_sum):
     if W % 128 != 0 or _pick_bm(T, W) == 0:
         return None
     return _rmsnorm_quant_jit(x, weight, float(eps), with_sum)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "with_sum"))
+def _add_rmsnorm_quant_jit(h, delta, weight, eps, with_sum):
+    T, W = h.shape
+    bm = _pick_bm(T, W)
+    grid = (T // bm,)
+    blk = lambda m: (m, 0)
+    h_new, q, s, asum = pl.pallas_call(
+        functools.partial(_add_rmsnorm_quant_kernel, eps=eps),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, W), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, W), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W), lambda m: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bm, W), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, W), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), blk, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, W), h.dtype),
+            jax.ShapeDtypeStruct((T, W), jnp.int8),
+            jax.ShapeDtypeStruct((T, 1), jnp.float32),
+            jax.ShapeDtypeStruct((T, 1), jnp.float32),
+        ],
+        interpret=interpret_mode(),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+    )(h, delta, weight.reshape(1, -1))
+    return h_new, q, s, (asum if with_sum else None)
+
+
+@register_pallas("add_rmsnorm_quant")
+def _add_rmsnorm_quant_dispatch(h, delta, weight, eps, with_sum):
+    if h.ndim != 2 or h.shape != delta.shape:
+        return None
+    T, W = h.shape
+    if W % 128 != 0 or _pick_bm(T, W) == 0:
+        return None
+    return _add_rmsnorm_quant_jit(h, delta, weight, float(eps), with_sum)
 
 
 @functools.partial(jax.jit, static_argnames=("with_sum",))

@@ -66,12 +66,17 @@ def _pick_bn(N: int) -> int:
 
 
 def _pick_bm(M: int, K: int) -> int:
-    # keep the resident A block [bm, K] int8 under ~6MB. Larger M blocks cut
-    # the weight-refetch factor ceil(M/bm) at prefill shapes (down_proj at
-    # K=14336 was refetching its weights 16x per step under the old 2MB cap);
-    # the kernels request a 64MB scoped-VMEM limit (v5e has 128MB/core), so
-    # A(x2 buffers) + weight blocks + int32 acc still fit.
-    cap = max(32, (6 << 20) // max(K, 1))
+    # The A block [bm, K] stays VMEM-resident across the (n, k) grid (its
+    # index map is constant in n/k, so Mosaic keeps one buffer), and weights
+    # stream ceil(M/bm) times. At prefill shapes the refetch factor is the
+    # whole ballgame: a 6MB cap made down_proj (K=14336) restream its 28MB
+    # of packed weights 8x per 2048-token step. ~30MB of A + [bm, bn] acc +
+    # out + double-buffered ~1MB weight blocks still fit the 64MB scoped
+    # limit (v5e: 128MB/core). QSERVE_GEMM_BM_MB tunes the cap.
+    import os as _os
+
+    cap_mb = int(_os.environ.get("QSERVE_GEMM_BM_MB", "30"))
+    cap = max(32, (cap_mb << 20) // max(K, 1))
     return M if M <= cap else _largest_divisor(M, cap, 1)
 
 

@@ -297,15 +297,21 @@ def _quant_act(x: jax.Array, with_sum: bool) -> lin.QuantAct:
 def _layer_forward(
     lp: LlamaLayerParams,
     li: jax.Array,  # int32 layer index
-    h: jax.Array,  # [T, E] bf16
+    h: jax.Array,  # [T, E] bf16 residual stream EXCLUDING delta
+    delta: jax.Array,  # [T, E] previous sub-block's un-added output
     cos: jax.Array,
     sin: jax.Array,
     args: LlamaArgs,
     attend,  # fn(q [T,Hq,D], k, v, li) -> [T,Hq,D]
     stacked: bool = False,  # lp fields carry a leading [L] layer dim
-) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
-    """One decoder layer. Returns (h, (k, v)) — KV-cache appends are the
-    caller's job (batched across layers after the layer loop).
+) -> Tuple[jax.Array, jax.Array, Tuple[jax.Array, jax.Array]]:
+    """One decoder layer. Returns (h, delta_out, (k, v)) — KV-cache appends
+    are the caller's job (batched across layers after the layer loop).
+
+    The residual add of the incoming delta is FUSED into this layer's input
+    rmsnorm+quant (ops.add_rmsnorm_quant): the caller threads each layer's
+    down-proj output to the next layer instead of adding it eagerly, so both
+    residual sites per layer ride inside the norm kernels' single pass.
 
     stacked=True: lp is the FULL stacked parameter pytree and li addresses
     it. The quantized GEMMs consume the stacked weights directly (scalar-
@@ -326,9 +332,12 @@ def _layer_forward(
     # --- attention block (column-parallel qkv, row-parallel o + psum) ---
     if int8_act:
         need_sum = lin.needs_act_sum(lp.qkv)
-        q8, s8, a8 = ops.rmsnorm_quant(h, ln(lp.input_ln), args.rms_eps, need_sum)
+        h, q8, s8, a8 = ops.add_rmsnorm_quant(
+            h, delta, ln(lp.input_ln), args.rms_eps, need_sum
+        )
         qkv = lin.apply_linear(lp.qkv, lin.QuantAct(q8, s8, a8), gs, idx=idx)
     else:
+        h = h + delta.astype(h.dtype)
         x = ops.rmsnorm(h, ln(lp.input_ln), args.rms_eps)
         qkv = lin.apply_linear(lp.qkv, x, gs, idx=idx)
 
@@ -354,26 +363,28 @@ def _layer_forward(
         o = lin.apply_linear(lp.o, attn, gs, idx=idx)
     if tp:
         o = jax.lax.psum(o, args.tp_axis)
-    h = h + o.astype(h.dtype)
 
     # --- MLP block (column-parallel gate_up, row-parallel down + psum) ---
     if isinstance(lp, MoELayerParams):
+        h = h + o.astype(h.dtype)
         d = _moe_mlp(lp, h, args, int8_act, gs, li=li, stacked=stacked)
     elif int8_act:
         need_sum = lin.needs_act_sum(lp.gate_up)
-        g8, gsc, gsum = ops.rmsnorm_quant(h, ln(lp.post_ln), args.rms_eps, need_sum)
+        h, g8, gsc, gsum = ops.add_rmsnorm_quant(
+            h, o, ln(lp.post_ln), args.rms_eps, need_sum
+        )
         gu = lin.apply_linear(lp.gate_up, lin.QuantAct(g8, gsc, gsum), gs, idx=idx)
         y8, ysc, ysum = ops.silu_mul_quant(gu, lin.needs_act_sum(lp.down))
         d = lin.apply_linear(lp.down, lin.QuantAct(y8, ysc, ysum), gs, idx=idx)
     else:
+        h = h + o.astype(h.dtype)
         x = ops.rmsnorm(h, ln(lp.post_ln), args.rms_eps)
         gu = lin.apply_linear(lp.gate_up, x, gs, idx=idx)
         y = ops.silu_mul(gu)
         d = lin.apply_linear(lp.down, y, gs, idx=idx)
     if tp:
         d = jax.lax.psum(d, args.tp_axis)
-    h = h + d.astype(h.dtype)
-    return h, (k.astype(jnp.bfloat16), v.astype(jnp.bfloat16))
+    return h, d.astype(h.dtype), (k.astype(jnp.bfloat16), v.astype(jnp.bfloat16))
 
 
 def _moe_mlp(lp: MoELayerParams, h: jax.Array, args: LlamaArgs,
@@ -527,25 +538,27 @@ def _run_layers(params, h, cos, sin, args, attend):
     if args.scan_layers:
         layers = params.layers
 
-        def body(h, li):
-            h, kv_new = _layer_forward(
-                layers, li, h, cos, sin, args, attend, stacked=True
+        def body(carry, li):
+            h, delta = carry
+            h, delta, kv_new = _layer_forward(
+                layers, li, h, delta, cos, sin, args, attend, stacked=True
             )
-            return h, kv_new
+            return (h, delta), kv_new
 
         lis = jnp.arange(args.num_layers, dtype=jnp.int32)
-        h, kv_new = jax.lax.scan(body, h, lis)
-        return h, kv_new
+        (h, delta), kv_new = jax.lax.scan(body, (h, jnp.zeros_like(h)), lis)
+        return h + delta, kv_new
     else:
         ks, vs = [], []
+        delta = jnp.zeros_like(h)
         for li in range(args.num_layers):
             lp = params.layers[li]
-            h, (k, v) = _layer_forward(
-                lp, jnp.int32(li), h, cos, sin, args, attend
+            h, delta, (k, v) = _layer_forward(
+                lp, jnp.int32(li), h, delta, cos, sin, args, attend
             )
             ks.append(k)
             vs.append(v)
-        return h, (jnp.stack(ks), jnp.stack(vs))
+        return h + delta, (jnp.stack(ks), jnp.stack(vs))
 
 
 def _lm_head(h: jax.Array, params: LlamaParams, args: LlamaArgs) -> jax.Array:

@@ -72,6 +72,11 @@ def main():
     ap.add_argument("--calib-windows", type=int, default=32)
     ap.add_argument("--alpha", type=float, default=0.5)
     ap.add_argument(
+        "--lm-head8", action="store_true",
+        help="also evaluate each quantized config with the W8 per-channel "
+        "lm_head (quant.lm_head_bits=8) next to the bf16 lm_head",
+    )
+    ap.add_argument(
         "--alpha-sweep", type=str, default=None,
         help="comma-separated alphas; evaluates ONLY the +opt 4-bit configs "
         "at each alpha (RTN + FP16 once) and reports the best per flavor",
@@ -92,25 +97,31 @@ def main():
     calib = None
     results = {}
     configs = [
-        ("w16a16kv8", -1, False, None, "FP16 (baseline)"),
-        ("w8a8kv8", -1, True, None, "W8A8KV8"),
-        ("w4a8kv4", -1, True, None, "W4A8KV4 per-channel"),
-        ("w4a8kv4", 128, True, None, "W4A8KV4 g128"),
+        ("w16a16kv8", -1, False, None, 16, "FP16 (baseline)"),
+        ("w8a8kv8", -1, True, None, 16, "W8A8KV8"),
+        ("w4a8kv4", -1, True, None, 16, "W4A8KV4 per-channel"),
+        ("w4a8kv4", 128, True, None, 16, "W4A8KV4 g128"),
     ]
+    if args.lm_head8:
+        configs += [
+            ("w8a8kv8", -1, True, None, 8, "W8A8KV8 +lmh8"),
+            ("w4a8kv4", -1, True, None, 8, "W4A8KV4 per-channel +lmh8"),
+            ("w4a8kv4", 128, True, None, 8, "W4A8KV4 g128 +lmh8"),
+        ]
     if args.alpha_sweep:
         alphas = [float(a) for a in args.alpha_sweep.split(",")]
         for a in alphas:
             configs += [
-                ("w4a8kv4", -1, True, a, f"W4A8KV4 per-channel +opt a={a}"),
-                ("w4a8kv4", 128, True, a, f"W4A8KV4 g128 +opt a={a}"),
+                ("w4a8kv4", -1, True, a, 16, f"W4A8KV4 per-channel +opt a={a}"),
+                ("w4a8kv4", 128, True, a, 16, f"W4A8KV4 g128 +opt a={a}"),
             ]
     elif args.optimize:
         configs += [
-            ("w4a8kv4", -1, True, args.alpha, "W4A8KV4 per-channel +opt"),
-            ("w4a8kv4", 128, True, args.alpha, "W4A8KV4 g128 +opt"),
+            ("w4a8kv4", -1, True, args.alpha, 16, "W4A8KV4 per-channel +opt"),
+            ("w4a8kv4", 128, True, args.alpha, 16, "W4A8KV4 g128 +opt"),
         ]
-    for precision, gs, kv_sim, alpha, label in configs:
-        quant = QuantSpec.from_precision(precision, gs)
+    for precision, gs, kv_sim, alpha, lmh, label in configs:
+        quant = QuantSpec.from_precision(precision, gs, lm_head_bits=lmh)
         margs = loader.args_from_config_dict(cfg, quant)
         if fp is None:
             fp = loader.load_float_params_from_hf(args.ckpt_dir, margs)

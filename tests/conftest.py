@@ -28,3 +28,20 @@ if not _USE_TPU:
     # 8-device CPU mesh, so override it back.
     jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables after each test module.
+
+    The full suite compiles hundreds of XLA:CPU programs in one process;
+    letting them accumulate has produced a deterministic segfault inside
+    backend_compile_and_load near the end of the run (test_tp_engine), while
+    every module passes in isolation. Per-module cache clearing keeps the
+    live-executable population bounded; modules don't share jitted functions,
+    so the only cost is re-tracing a handful of library-level lru caches."""
+    yield
+    jax.clear_caches()

@@ -501,15 +501,20 @@ class TestChunkedPrefill:
         p1 = prefix + [1, 2, 3]
         p2 = prefix + [4, 5, 6]
 
+        # kv8: the skip path attends the prefix from the (near-lossless)
+        # quantized cache while the baseline attends it in-flight — under
+        # kv4 the exact-token assertion is a coin flip on tie-breaks
+        kv8 = dict(precision="w4a8kv8")
+
         # baseline: no prefix sharing
-        base = build_engine(pages=64, max_tokens=256, max_len=256)
+        base = build_engine(pages=64, max_tokens=256, max_len=256, **kv8)
         base.add_request(
             "b", prompt_token_ids=p2,
             sampling_params=SamplingParams(max_tokens=6, temperature=0.0),
         )
         ref, _ = run_to_completion(base)
 
-        eng = build_engine(pages=64, max_tokens=256, max_len=256)
+        eng = build_engine(pages=64, max_tokens=256, max_len=256, **kv8)
         eng.add_request(
             "r1", prompt_token_ids=p1,
             sampling_params=SamplingParams(max_tokens=6, temperature=0.0),

@@ -79,3 +79,39 @@ class TestDispatchContract:
         x = jnp.ones((5, 200), jnp.float32)  # unaligned both ways
         q, s, asum = ops.quant_per_token(x, True)
         assert q.shape == (5, 200) and s.shape == (5, 1)
+
+
+class TestAddRMSNormQuant:
+    @pytest.mark.parametrize("T,K", [(128, 4096), (24, 512)])
+    def test_matches_unfused(self, T, K):
+        kx, kd, kw = jax.random.split(jax.random.PRNGKey(3), 3)
+        h = jax.random.normal(kx, (T, K), jnp.bfloat16)
+        d = jax.random.normal(kd, (T, K), jnp.bfloat16)
+        w = (1.0 + 0.1 * jax.random.normal(kw, (K,), jnp.float32))
+        eps = 1e-5
+        h_new, q, s, asum = pe._add_rmsnorm_quant_jit(h, d, w, eps, True)
+        # unfused semantics: add in f32, round to bf16, normalize the
+        # rounded value (exactly what the pre-fusion path computed)
+        want_h = (h.astype(jnp.float32) + d.astype(jnp.float32)).astype(
+            jnp.bfloat16)
+        np.testing.assert_array_equal(np.asarray(h_new), np.asarray(want_h))
+        hf = want_h.astype(jnp.float32)
+        var = jnp.mean(hf * hf, axis=-1, keepdims=True)
+        y = hf * jax.lax.rsqrt(var + eps) * w
+        q_w, s_w, sum_w = qoq.quantize_activation_per_token(y, True)
+        diff = np.abs(np.asarray(q, np.int32) - np.asarray(q_w, np.int32))
+        assert diff.max() <= 1 and (diff > 0).mean() < 1e-3
+        np.testing.assert_allclose(np.asarray(s), np.asarray(s_w), rtol=1e-6)
+        # each boundary-flipped code moves asum by one scale step
+        flips = diff.sum(axis=-1, keepdims=True)
+        tol = (flips + 0.01) * np.asarray(s_w)
+        assert (np.abs(np.asarray(asum) - np.asarray(sum_w)) <= tol).all()
+
+    def test_ops_wrapper_fallback(self, monkeypatch):
+        from qserve_tpu.kernels import ops
+        h = jnp.ones((5, 200), jnp.bfloat16)
+        d = jnp.full((5, 200), 0.5, jnp.bfloat16)
+        w = jnp.ones((200,), jnp.float32)
+        h_new, q, s, asum = ops.add_rmsnorm_quant(h, d, w, 1e-6, True)
+        assert h_new.shape == (5, 200) and q.shape == (5, 200)
+        np.testing.assert_allclose(np.asarray(h_new, np.float32), 1.5)

@@ -26,7 +26,7 @@ from qserve_tpu.models import vila
 from qserve_tpu.sequence import SequenceGroupMetadata
 from qserve_tpu.utils.constants import IMAGE_TOKEN_INDEX
 from qserve_tpu.utils.utils import bucket
-from qserve_tpu.worker.model_runner import ModelRunner
+from qserve_tpu.worker.model_runner import ModelRunner, sample_host
 
 logger = init_logger(__name__)
 
@@ -50,6 +50,21 @@ def _vlm_prefill_step(
 
 
 @functools.partial(jax.jit, static_argnames=("args",), donate_argnames=("kv",))
+def _vlm_prefill_step_logits(
+    llm_params, kv, tok, embeds, img_idx, pos, seg, pages, slots, last_idx,
+    temp, topp, topk, key, *, args
+):
+    """VLM prefill that also returns last-token logits (n>1 / best_of>1
+    prompts: the host draws the extra candidate tokens from these rows)."""
+    logits, kv = vila.vlm_prefill(
+        llm_params, kv, tok, embeds, img_idx, pos, seg, pages, slots,
+        last_idx, args,
+    )
+    toks = sampler_mod.sample(logits, temp, topp, topk, key)
+    return toks, kv, logits.astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("args",), donate_argnames=("kv",))
 def _vlm_prefill_chunk_step(
     llm_params, kv, tok, embeds, img_idx, pos, seg, pages, slots, last_idx,
     bt, prefix_len, temp, topp, topk, key, *, args
@@ -62,11 +77,27 @@ def _vlm_prefill_chunk_step(
     return toks, kv
 
 
+@functools.partial(jax.jit, static_argnames=("args",), donate_argnames=("kv",))
+def _vlm_prefill_chunk_step_logits(
+    llm_params, kv, tok, embeds, img_idx, pos, seg, pages, slots, last_idx,
+    bt, prefix_len, temp, topp, topk, key, *, args
+):
+    """Final chunk of a best_of>1 image prompt: also return the last-token
+    logits so the host can draw the extra candidates."""
+    logits, kv = vila.vlm_prefill_chunk(
+        llm_params, kv, tok, embeds, img_idx, pos, seg, pages, slots,
+        last_idx, bt, prefix_len, args,
+    )
+    toks = sampler_mod.sample(logits, temp, topp, topk, key)
+    return toks, kv, logits.astype(jnp.float32)
+
+
 class VLMModelRunner(ModelRunner):
     """ModelRunner whose prefill splices vision-tower embeddings."""
 
-    # the VLM prefill fn does not expose last-token logits yet
-    supports_multi_sample = False
+    # n>1 / best_of>1 image prompts: extra candidates host-sampled from the
+    # spliced prefill's last-token logits, exactly like the dense runner
+    supports_multi_sample = True
 
     def __init__(self, vila_params: vila.VilaParams, vila_args: vila.VilaArgs,
                  *args, **kw):
@@ -130,6 +161,7 @@ class VLMModelRunner(ModelRunner):
         tables: List[List[int]] = []
         seq_order: List[int] = []
         sp_list = []
+        completes: List[bool] = []  # this step finishes the prompt
         total = 0
         chunked = False
         for md in metadata:
@@ -140,6 +172,9 @@ class VLMModelRunner(ModelRunner):
                     chunked = True
                     # continuation chunks reuse this prompt's embeddings
                     self._chunk_embeds[seq_id] = embeds
+                completes.append(
+                    md.chunk is None or md.chunk[1] >= data.get_len()
+                )
                 prompts.append(ids)
                 tables.append(md.block_tables[seq_id])
                 total += len(ids)
@@ -163,7 +198,11 @@ class VLMModelRunner(ModelRunner):
             )
         temp, topp, topk = self._sampling_arrays(sp_list, B)
 
-        toks, cache_engine.cache = _vlm_prefill_step(
+        self.last_extra_samples = {}
+        want_extra = any(
+            sp.best_of > 1 and c for sp, c in zip(sp_list, completes)
+        )
+        step_args = (
             self.params,
             cache_engine.cache,
             jnp.asarray(tok), embeds, jnp.asarray(ii),
@@ -171,8 +210,21 @@ class VLMModelRunner(ModelRunner):
             jnp.asarray(sl), jnp.asarray(li),
             temp, topp, topk,
             self._next_key(),
-            args=self.model_args,
         )
+        if want_extra:
+            toks, cache_engine.cache, logits = _vlm_prefill_step_logits(
+                *step_args, args=self.model_args
+            )
+            logits_np = np.asarray(jax.device_get(logits))
+            for i, (sid, sp) in enumerate(zip(seq_order, sp_list)):
+                if sp.best_of > 1 and completes[i]:
+                    self.last_extra_samples[sid] = sample_host(
+                        logits_np[i], sp, self._host_rng, sp.best_of - 1
+                    )
+        else:
+            toks, cache_engine.cache = _vlm_prefill_step(
+                *step_args, args=self.model_args
+            )
         out = np.asarray(jax.device_get(toks))
         return [(sid, int(out[i])) for i, sid in enumerate(seq_order)]
 
@@ -215,7 +267,8 @@ class VLMModelRunner(ModelRunner):
         temp, topp, topk = self._sampling_arrays([md.sampling_params], 1)
 
         self.last_extra_samples = {}
-        toks, cache_engine.cache = _vlm_prefill_chunk_step(
+        sp = md.sampling_params
+        step_args = (
             self.params,
             cache_engine.cache,
             jnp.asarray(tok), embeds, jnp.asarray(ii),
@@ -224,8 +277,20 @@ class VLMModelRunner(ModelRunner):
             jnp.asarray(bt), jnp.int32(start),
             temp, topp, topk,
             self._next_key(),
-            args=self.model_args,
         )
+        if sp.best_of > 1 and end == len(full_ids):
+            # final chunk of an n>1 image prompt: host-sample the extras
+            toks, cache_engine.cache, logits = _vlm_prefill_chunk_step_logits(
+                *step_args, args=self.model_args
+            )
+            logits_np = np.asarray(jax.device_get(logits))
+            self.last_extra_samples[seq_id] = sample_host(
+                logits_np[0], sp, self._host_rng, sp.best_of - 1
+            )
+        else:
+            toks, cache_engine.cache = _vlm_prefill_chunk_step(
+                *step_args, args=self.model_args
+            )
         if end == len(full_ids):  # final chunk: release the cached embeds
             self._chunk_embeds.pop(seq_id, None)
         out = np.asarray(jax.device_get(toks))

@@ -904,12 +904,98 @@ def w4a8_gemm_per_group_routed_pallas(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("group_size", "out_dtype"))
+def w4a8_gemm_per_group_whole_routed_pallas(
+    a_i8, a_scale, qweight_packed, s2_scale, s2_zero, s1_scale, block_idx,
+    group_size=128, out_dtype=jnp.bfloat16,
+):
+    """Ragged-K grouped (per-M-block expert) two-level W4A8 GEMM.
+
+    The routed analog of w4a8_gemm_per_group_whole_pallas: for K where K2
+    has no multiple-of-8-groups divisor (K=11008 -> 43 groups/plane), the
+    scale/zero/gsum operands arrive as FULL-row blocks and each (m, n) grid
+    step streams the whole [K2, bn] weight strip of block m's expert.
+    Closes the last routed-MoE XLA bail-out (reference bar:
+    kernels/csrc/qgemm/w4a8_per_group/gemm_cuda.cu:271-326 — the reference
+    has no grouped per-group GEMM at all, mixtral_w4a8_unpad.py:288)."""
+    M, K = a_i8.shape
+    N = qweight_packed.shape[-1]
+    nb, lead = block_idx.shape
+    assert lead == qweight_packed.ndim - 2
+    assert M % nb == 0
+    bm = M // nb
+    K2 = K // 2
+    assert K2 % group_size == 0
+    gpp = K2 // group_size  # groups per nibble plane
+    bn = _pick_bn(N)
+    grid = (nb, N // bn)
+    lead1 = (1,) * lead
+
+    def ix(t_map):
+        def f(m, n, *refs):
+            return tuple(refs[0][m, i] for i in range(lead)) + t_map(m, n)
+
+        return f
+
+    def ix_plain(t_map):
+        def f(m, n, *refs):
+            return t_map(m, n)
+
+        return f
+
+    # per-group activation row-sums (both planes), int32 [M, 2*gpp]
+    gsum = jnp.sum(
+        a_i8.astype(jnp.int32).reshape(M, 2 * gpp, group_size), axis=2
+    )
+
+    in_specs = [
+        pl.BlockSpec((bm, K), ix_plain(lambda m, n: (m, 0)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(lead1 + (K2, bn), ix(lambda m, n: (0, n)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(lead1 + (2 * gpp, bn), ix(lambda m, n: (0, n)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(lead1 + (2 * gpp, bn), ix(lambda m, n: (0, n)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bm, 2 * gpp), ix_plain(lambda m, n: (m, 0)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(lead1 + (1, bn), ix(lambda m, n: (0, n)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bm, 1), ix_plain(lambda m, n: (m, 0)),
+                     memory_space=pltpu.VMEM),
+    ]
+    s1 = s1_scale.reshape(*s1_scale.shape[:lead], 1, N)
+    return _maybe_stacked_call(
+        functools.partial(_w4a8_grp_whole_kernel, gpp=gpp, group=group_size,
+                          k_half=K2, lead=lead),
+        grid, in_specs,
+        pl.BlockSpec((bm, bn), ix_plain(lambda m, n: (m, n)),
+                     memory_space=pltpu.VMEM),
+        jax.ShapeDtypeStruct((M, N), out_dtype),
+        [],
+        pl.CostEstimate(
+            flops=2 * M * N * K,
+            bytes_accessed=M * K + nb * (K * N // 2) + M * N * 2,
+            transcendentals=0,
+        ),
+        (a_i8, qweight_packed, s2_scale, s2_zero, gsum, s1,
+         a_scale.reshape(M, 1)),
+        block_idx, per_block=True,
+    )
+
+
 @register_pallas("w4a8_gemm_per_group_routed")
 def _w4a8_grp_routed_dispatch(a_i8, a_scale, qw, s2s, s2z, s1, block_idx,
                               group_size, out_dtype):
     K2 = a_i8.shape[1] // 2
     if K2 % (8 * group_size) != 0:
-        return None  # ragged group counts: XLA routed fallback
+        if K2 % group_size != 0:
+            return None  # K not group-divisible at all -> XLA routed fallback
+        # ragged group counts (K=11008 -> 43 groups/plane): whole-K-strip
+        # routed kernel (was an XLA bail-out through round 4)
+        return w4a8_gemm_per_group_whole_routed_pallas(
+            a_i8, a_scale, qw, s2s, s2z, s1, block_idx, group_size, out_dtype
+        )
     return w4a8_gemm_per_group_routed_pallas(
         a_i8, a_scale, qw, s2s, s2z, s1, block_idx, group_size, out_dtype
     )

@@ -353,6 +353,44 @@ def test_w4a8_grp_ragged_whole_kernel_compiled():
                                rtol=2e-2, atol=2e-2)
 
 
+def test_w4a8_grp_routed_ragged_whole_kernel_compiled():
+    """Routed ragged-K per-group GEMM through Mosaic: per-M-block expert
+    index maps combined with whole-K weight strips + full-row scale blocks
+    (the last routed-MoE XLA bail-out, closed in round 5)."""
+    from qserve_tpu.kernels.pallas_gemm import (
+        w4a8_gemm_per_group_whole_routed_pallas,
+    )
+
+    E, K, N, G, bm, nb = 3, 11008, 512, 128, 64, 4
+    M = bm * nb
+    packs, s2s, s2z, s1s, ps = [], [], [], [], []
+    for e in range(E):
+        w = jax.random.normal(jax.random.PRNGKey(220 + e), (K, N),
+                              jnp.float32) * 0.05
+        p = qoq.quantize_weight_per_group(w, G)
+        packs.append(packing.pack_w4(p.qweight))
+        s2s.append(p.s2_scale); s2z.append(p.s2_zero)
+        s1s.append(p.s1_scale); ps.append(p)
+    x = jax.random.normal(jax.random.PRNGKey(230), (M, K), jnp.float32)
+    a, ascale, _ = qoq.quantize_activation_per_token(x)
+    block_expert = jnp.asarray([1, 0, 2, 1], jnp.int32)
+    out = np.asarray(
+        w4a8_gemm_per_group_whole_routed_pallas(
+            a, ascale, jnp.stack(packs), jnp.stack(s2s), jnp.stack(s2z),
+            jnp.stack(s1s), block_expert[:, None], G, jnp.float32,
+        ),
+        np.float32,
+    )
+    for b in range(nb):
+        ref = qoq.w4a8_gemm_per_group_ref(
+            a[b * bm:(b + 1) * bm], ascale[b * bm:(b + 1) * bm],
+            ps[int(block_expert[b])], G, jnp.float32,
+        )
+        np.testing.assert_allclose(out[b * bm:(b + 1) * bm],
+                                   np.asarray(ref, np.float32),
+                                   rtol=2e-2, atol=2e-2)
+
+
 def test_fused_elementwise_quant_compiled_matches_ref():
     """N5/N6/N7 single-pass fusions through Mosaic: f32->int8 store, [T,1]
     scale outputs, logistic transcendental, 28K-lane silu blocks."""

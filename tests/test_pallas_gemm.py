@@ -332,6 +332,38 @@ class TestRoutedGrouped:
                 rtol=2e-5, atol=2e-4,
             )
 
+    def test_w4a8_grp_routed_ragged_k_whole_kernel(self):
+        """Ragged K (K2 % (8*G) != 0, e.g. Llama-2 down_proj K=11008-class):
+        the routed dispatch takes the whole-K-strip kernel instead of the
+        XLA fallback (pallas_gemm.py w4a8_gemm_per_group_whole_routed)."""
+        E, K, N, G, bm, nb = 3, 768, 128, 128, 16, 6  # K2=384 -> 3 grp/plane
+        M = bm * nb
+        assert (K // 2) % (8 * G) != 0 and (K // 2) % G == 0
+        packs, s2s, s2z, s1s, ps = [], [], [], [], []
+        for e in range(E):
+            _, w = _inputs(8, K, N, key=160 + e)
+            p = qoq.quantize_weight_per_group(w, G)
+            packs.append(packing.pack_w4(p.qweight))
+            s2s.append(p.s2_scale); s2z.append(p.s2_zero)
+            s1s.append(p.s1_scale); ps.append(p)
+        x, _ = _inputs(M, K, N, key=170)
+        a, ascale, _ = qoq.quantize_activation_per_token(x)
+        block_expert = jnp.asarray([2, 1, 0, 1, 2, 0], jnp.int32)
+        out = pg.w4a8_gemm_per_group_whole_routed_pallas(
+            a, ascale, jnp.stack(packs), jnp.stack(s2s), jnp.stack(s2z),
+            jnp.stack(s1s), block_expert[:, None], G, jnp.float32,
+        )
+        for b in range(nb):
+            e = int(block_expert[b])
+            ref = qoq.w4a8_gemm_per_group_ref(
+                a[b * bm:(b + 1) * bm], ascale[b * bm:(b + 1) * bm], ps[e],
+                G, jnp.float32,
+            )
+            np.testing.assert_allclose(
+                np.asarray(out[b * bm:(b + 1) * bm]), np.asarray(ref),
+                rtol=2e-5, atol=2e-4,
+            )
+
     def test_w4a8_grp_routed_matches_per_block_reference(self):
         E, K, N, G, bm, nb = 3, 2048, 128, 128, 16, 6
         M = bm * nb

@@ -108,6 +108,7 @@ def _paged_attn_kernel(
     NBUF: int,
     window: int,  # 0 = full attention; else positions [hist-window, hist)
     SB: int,  # sequences per grid instance
+    ablate: str = "",  # dev-only (QSERVE_ATTN_ABLATE): skip one compute stage
 ):
     inst = pl.program_id(0)
     li = li_ref[0]
@@ -210,36 +211,60 @@ def _paged_attn_kernel(
 
             kp = buf_d[s, slot, 0]  # [ps2, HDc] int8
             vp = buf_d[s, slot, 1]
+            if ablate == "dma":
+                # DMA floor probe: wait the page DMAs, touch the buffers
+                # with one dependent op, skip all real compute
+                acc_ref[:] += (
+                    kp[:GH, :D].astype(jnp.float32)
+                    + vp[:GH, :D].astype(jnp.float32)
+                    + buf_s[s, slot, 0, 0, 0]
+                )
+                @pl.when(blk + NBUF < nblocks)
+                def _():
+                    start_block(s, b, npages, slot, blk + NBUF)
+                return 0
             if kv4:
-                k_lo, k_hi = _unpack_nibbles(kp, interpret)
-                v_lo, v_hi = _unpack_nibbles(vp, interpret)
+                if ablate == "nounpack":
+                    k_lo = k_hi = kp  # skip the nibble mask/shift passes
+                    v_lo, v_hi = vp, vp
+                else:
+                    k_lo, k_hi = _unpack_nibbles(kp, interpret)
+                    v_lo, v_hi = _unpack_nibbles(vp, interpret)
             else:
                 k_lo = kp  # KV8: stored u-128, s8 MXU-ready (append_layer)
                 v_lo, v_hi = vp, None
 
-            ks_h = buf_s[s, slot, 0, :H, :].astype(jnp.float32)  # [H, ps2]
-            kz_h = buf_s[s, slot, 0, H:, :].astype(jnp.float32)
-            vs_h = buf_s[s, slot, 1, :H, :].astype(jnp.float32)
-            vz_h = buf_s[s, slot, 1, H:, :].astype(jnp.float32)
-            if not kv4:
-                # KV8 stores x = u-128; k = u*ks + kz = x*ks + (kz + 128*ks)
-                kz_h = kz_h + 128.0 * ks_h
-                vz_h = vz_h + 128.0 * vs_h
-            ks = tile_g(ks_h)  # [GH, ps2]
-            kz = tile_g(kz_h)
-            vs = tile_g(vs_h)
-            vz = tile_g(vz_h)
+            if ablate == "noscale":  # skip scale loads + casts + tiling
+                ks = kz = vs = vz = jnp.float32(1.0)
+            else:
+                ks_h = buf_s[s, slot, 0, :H, :].astype(jnp.float32)  # [H, ps2]
+                kz_h = buf_s[s, slot, 0, H:, :].astype(jnp.float32)
+                vs_h = buf_s[s, slot, 1, :H, :].astype(jnp.float32)
+                vz_h = buf_s[s, slot, 1, H:, :].astype(jnp.float32)
+                if not kv4:
+                    # KV8 stores x = u-128; k = u*ks + kz = x*ks + (kz+128*ks)
+                    kz_h = kz_h + 128.0 * ks_h
+                    vz_h = vz_h + 128.0 * vs_h
+                ks = tile_g(ks_h)  # [GH, ps2]
+                kz = tile_g(kz_h)
+                vs = tile_g(vs_h)
+                vz = tile_g(vz_h)
 
-            # scores: one s8 x s8 MXU op per nibble plane (PCHUNK pages)
-            qk = jax.lax.dot_general(
-                qlo, k_lo, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            )
-            if kv4:
-                qk = qk + jax.lax.dot_general(
-                    qhi, k_hi, (((1,), (1,)), ((), ())),
+            if ablate == "noqk":  # skip the QK MXU dots (keep the epilogue)
+                qk = jnp.broadcast_to(
+                    qlo[:, :1].astype(jnp.int32), (GH, ps2)
+                )
+            else:
+                # scores: one s8 x s8 MXU op per nibble plane (PCHUNK pages)
+                qk = jax.lax.dot_general(
+                    qlo, k_lo, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.int32,
-                )  # [GH, ps2]
+                )
+                if kv4:
+                    qk = qk + jax.lax.dot_general(
+                        qhi, k_hi, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    )  # [GH, ps2]
 
             pos = blk * ps2 + jax.lax.broadcasted_iota(jnp.int32, (1, ps2), 1)
             valid = pos < hist  # [1, ps2]; the current token merges outside
@@ -252,10 +277,21 @@ def _paged_attn_kernel(
             # online softmax; invalid lanes give exp(NEG_INF - m) == 0
             m_prev = m_ref[:]
             m_new = jnp.maximum(m_prev, jnp.max(s_gp, axis=1, keepdims=True))
-            alpha = jnp.exp(m_prev - m_new)
-            p_gp = jnp.exp(s_gp - m_new)
+            if ablate == "noexp":  # transcendental cost probe
+                alpha = jnp.float32(1.0)
+                p_gp = (s_gp - m_new) * 1e-6
+            else:
+                alpha = jnp.exp(m_prev - m_new)
+                p_gp = jnp.exp(s_gp - m_new)
             l_ref[:] = l_ref[:] * alpha + jnp.sum(p_gp, axis=1, keepdims=True)
             m_ref[:] = m_new
+
+            if ablate == "nopv":  # skip requant + PV dots + diag extraction
+                acc_ref[:] = acc_ref[:] * alpha + p_gp[:, :D]
+                @pl.when(blk + NBUF < nblocks)
+                def _():
+                    start_block(s, b, npages, slot, blk + NBUF)
+                return 0
 
             # V: requantize (p*vs) rows to int8 -> s8 x s8 PV dot
             pvs_f = p_gp * vs  # [GH, ps2] f32, >= 0 (vs > 0)
@@ -267,6 +303,8 @@ def _paged_attn_kernel(
 
             def diag_blocks(pv_full_i32):  # [GH, HDc] i32 -> [GH, dc] f32
                 pv_full = pv_full_i32.astype(jnp.float32) * pq_scale
+                if ablate == "nodiag":
+                    return pv_full[:, :dc]
                 out = jnp.zeros((GH, dc), jnp.float32)
                 for h in range(H):
                     sel = (row_head == h).astype(jnp.float32)
@@ -387,6 +425,10 @@ def paged_decode_attention_pallas(
     while SB > 1 and (B % SB != 0 or B < 2 * SB):
         SB //= 2
     n_inst = B // SB
+    # dev-only in-kernel ablation (benchmarks/ablate_decode.py attnonly runs,
+    # one fresh process per mode — jit caches would hide later env changes):
+    # dma | nounpack | noscale | noqk | noexp | nopv | nodiag
+    ablate = _os.environ.get("QSERVE_ATTN_ABLATE", "")
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -422,7 +464,7 @@ def paged_decode_attention_pallas(
         functools.partial(
             _paged_attn_kernel, ps=ps, H=H, G=G, D=D, kv4=kv4,
             interpret=interpret_mode(), PCHUNK=PCHUNK, NBUF=NBUF,
-            window=window, SB=SB,
+            window=window, SB=SB, ablate=ablate,
         ),
         grid_spec=grid_spec,
         out_shape=[

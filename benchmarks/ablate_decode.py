@@ -147,36 +147,96 @@ def main():
             )
             return o.sum(axis=(1, 2)), kv
 
-        fn = {"attnonly": attn_only, "realstep": realstep}.get(variant, decode)
+        fn = {"attnonly": attn_only, "realstep": realstep}.get(
+            variant.split(":")[0], decode
+        )
         return jax.jit(fn, donate_argnames=("kv",))
 
-    for variant in VARIANTS:
-        step = make_decode(variant)
-        kv = fresh_cache()
-
-        def chain(n, tok):
-            nonlocal kv
-            t0 = time.time()
-            for i in range(n):
-                out, kv = step(params, kv, tok, bt, jnp.full((B,), CTX + i, jnp.int32))
-                tok = (out.astype(jnp.int32) % args.vocab_size + tok) % args.vocab_size
-            np.asarray(tok)
-            return time.time() - t0
-
+    @contextlib.contextmanager
+    def variant_env(variant):
+        """`name:SPEC` variants set attention-kernel envs for the trace (the
+        dispatch threads them through as STATIC jit args, so interleaved
+        specs in one process get distinct executables). SPEC is either a
+        bare ablate mode (`attnonly:dma`) or k=v pairs
+        (`attnonly:pchunk=5,sb=16`, keys: ablate/pchunk/nbuf/sb)."""
+        spec = variant.split(":", 1)[1] if ":" in variant else ""
+        env_keys = {
+            "ablate": "QSERVE_ATTN_ABLATE", "pchunk": "QSERVE_ATTN_PCHUNK",
+            "nbuf": "QSERVE_ATTN_NBUF", "sb": "QSERVE_ATTN_SB",
+        }
+        want = {"QSERVE_ATTN_ABLATE": ""}
+        for kv_pair in filter(None, spec.split(",")):
+            if "=" in kv_pair:
+                k, v = kv_pair.split("=", 1)
+                want[env_keys[k]] = v
+            else:
+                want["QSERVE_ATTN_ABLATE"] = kv_pair
+        saved = {k: os.environ.get(k) for k in env_keys.values()}
+        for k in env_keys.values():
+            os.environ.pop(k, None)
+        os.environ.update(want)
+        stubs = None
         if "noelem" in variant.split("+"):
             sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
             from ablate_prefill import _elementwise_stubs
 
-            ctx = _elementwise_stubs(ops)
-        else:
-            ctx = contextlib.nullcontext()
-        with ctx:
-            chain(3, tok0)  # compile + warm (trace under stubs if any)
-        t_short = chain(4, tok0)
-        t_long = chain(16, tok0)
-        dt = (t_long - t_short) / 12
-        print(f"{variant:<10} step = {dt*1e3:7.2f} ms", flush=True)
-        del kv
+            stubs = _elementwise_stubs(ops)
+        try:
+            with (stubs or contextlib.nullcontext()):
+                yield
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
+
+    # interleaved timing rounds: tunnel clock drift between runs has measured
+    # ~10%; timing every variant once per round and reporting the per-variant
+    # MEDIAN across rounds cancels the drift that one-variant-per-process
+    # sweeps cannot (QSERVE_ABL_ROUNDS=1 restores the old behavior)
+    rounds = int(e("QSERVE_ABL_ROUNDS", 2))
+    steps = {}
+    for variant in VARIANTS:
+        with variant_env(variant):
+            steps[variant] = make_decode(variant)
+    kv = fresh_cache()  # ONE cache shared by every variant (donated through)
+
+    def chain(variant, n, tok):
+        nonlocal kv
+        step = steps[variant]
+        t0 = time.time()
+        for i in range(n):
+            out, kv = step(params, kv, tok, bt, jnp.full((B,), CTX + i, jnp.int32))
+            tok = (out.astype(jnp.int32) % args.vocab_size + tok) % args.vocab_size
+        np.asarray(tok)
+        return time.time() - t0
+
+    live = []
+    for variant in VARIANTS:
+        try:
+            with variant_env(variant):
+                chain(variant, 3, tok0)  # compile + warm
+            live.append(variant)
+        except Exception as exc:  # one broken variant must not kill the sweep
+            print(f"{variant:<16} FAILED: {type(exc).__name__}: "
+                  f"{str(exc)[:200]}", flush=True)
+    times = {v: [] for v in live}
+    for _ in range(rounds):
+        for variant in live:
+            with variant_env(variant):
+                t_short = chain(variant, 4, tok0)
+                t_long = chain(variant, 16, tok0)
+            times[variant].append((t_long - t_short) / 12)
+    for variant in live:
+        dts = sorted(times[variant])
+        med = dts[len(dts) // 2] if len(dts) % 2 else (
+            dts[len(dts) // 2 - 1] + dts[len(dts) // 2]
+        ) / 2
+        spread = (
+            f"  [{min(dts)*1e3:.2f}..{max(dts)*1e3:.2f}]" if len(dts) > 1 else ""
+        )
+        print(f"{variant:<16} step = {med*1e3:7.2f} ms{spread}", flush=True)
 
 
 if __name__ == "__main__":

@@ -387,7 +387,7 @@ def _w4a8_chn_dispatch(a_i8, a_scale, a_sum, qw, s1, sz, out_dtype, idx=None):
 
 def _w4a8_grp_kernel(a_ref, w_ref, s2s_lo_ref, s2z_lo_ref, s2s_hi_ref,
                      s2z_hi_ref, gsum_lo_ref, gsum_hi_ref, s1_ref, as_ref,
-                     out_ref, acc_ref,
+                     out_ref, acc_ref, zacc_ref,
                      *, nk: int, bk2: int, k_half: int, group: int,
                      lead: int):
     k = pl.program_id(2)
@@ -395,16 +395,15 @@ def _w4a8_grp_kernel(a_ref, w_ref, s2s_lo_ref, s2z_lo_ref, s2s_hi_ref,
     @pl.when(k == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
+        zacc_ref[:] = jnp.zeros_like(zacc_ref)
 
     gpb = bk2 // group  # whole groups per nibble plane of this block
     lo, hi = unpack_w4_nibbles(_blk(w_ref, lead), interpret_mode())  # [bk2, bn]
 
-    def plane(a_start, w_plane, s2s, s2z, gsum):
-        # sum_g s2[g] * dot(a_g, q_g) + z2[g] * gsum[:, g]
-        # (per-group activation row-sums arrive precomputed from batched XLA
-        # — the in-kernel reduction was a VPU pass per group; s2/z2 rows
-        # arrive as per-K-block BlockSpec slices so all in-kernel row
-        # indexing is static — Mosaic rejects dynamic sub-tile row slices)
+    def plane(a_start, w_plane, s2s):
+        # sum_g s2[g] * dot(a_g, q_g); s2 rows arrive as per-K-block
+        # BlockSpec slices so all in-kernel row indexing is static — Mosaic
+        # rejects dynamic sub-tile row slices
         acc = jnp.zeros(acc_ref.shape, jnp.int32)
         for gi in range(gpb):  # static unroll: gpb is small (bk2/group)
             a_g = a_ref[:, pl.ds(a_start + gi * group, group)]
@@ -413,22 +412,30 @@ def _w4a8_grp_kernel(a_ref, w_ref, s2s_lo_ref, s2z_lo_ref, s2s_hi_ref,
                 a_g, q_g, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )  # [bm, bn]
-            asum_g = gsum[:, gi : gi + 1]  # [bm, 1] int32
             s2 = s2s[gi : gi + 1, :] & 0xFF
-            z2 = s2z[gi : gi + 1, :]
-            acc += dot_g * s2 + asum_g * z2
+            acc += dot_g * s2
         return acc
 
     s2s_lo = _blk(s2s_lo_ref, lead).astype(jnp.int32)  # [gpb, bn]
-    s2z_lo = _blk(s2z_lo_ref, lead).astype(jnp.int32)
     s2s_hi = _blk(s2s_hi_ref, lead).astype(jnp.int32)
-    s2z_hi = _blk(s2z_hi_ref, lead).astype(jnp.int32)
-    acc_ref[:] += plane(k * bk2, lo, s2s_lo, s2z_lo, gsum_lo_ref[0])
-    acc_ref[:] += plane(k_half + k * bk2, hi, s2s_hi, s2z_hi, gsum_hi_ref[0])
+    acc_ref[:] += plane(k * bk2, lo, s2s_lo)
+    acc_ref[:] += plane(k_half + k * bk2, hi, s2s_hi)
+    # the zero-point term sum_g asum[:, g] * z2[g, :] is ONE MXU f32 dot per
+    # plane instead of 2 VPU passes per group (asum*z2 products are < 2^21
+    # per group, so the f32 accumulation is exact at any realistic K)
+    zacc_ref[:] += jax.lax.dot_general(
+        gsum_lo_ref[0].astype(jnp.float32),
+        _blk(s2z_lo_ref, lead).astype(jnp.float32),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    ) + jax.lax.dot_general(
+        gsum_hi_ref[0].astype(jnp.float32),
+        _blk(s2z_hi_ref, lead).astype(jnp.float32),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )
 
     @pl.when(k == nk - 1)
     def _():
-        psum = acc_ref[:].astype(jnp.float32)
+        psum = acc_ref[:].astype(jnp.float32) + zacc_ref[:]
         out_ref[:] = (psum * _blk(s1_ref, lead) * as_ref[:]).astype(out_ref.dtype)
 
 
@@ -498,7 +505,7 @@ def w4a8_gemm_per_group_pallas(
         pl.BlockSpec((bm, bn), ix_plain(lambda m, n, k: (m, n)),
                      memory_space=pltpu.VMEM),
         jax.ShapeDtypeStruct((M, N), out_dtype),
-        [pltpu.VMEM((bm, bn), jnp.int32)],
+        [pltpu.VMEM((bm, bn), jnp.int32), pltpu.VMEM((bm, bn), jnp.float32)],
         pl.CostEstimate(
             flops=2 * M * N * K,
             bytes_accessed=M * K + K * N // 2 + 2 * G * N + M * N * 2,
@@ -523,7 +530,6 @@ def _w4a8_grp_whole_kernel(a_ref, w_ref, s2s_ref, s2z_ref, gsum_ref, s1_ref,
     weight column strip [K2, bn] streams per (m, n) step."""
     lo, hi = unpack_w4_nibbles(_blk(w_ref, lead), interpret_mode())  # [K2, bn]
     s2s = _blk(s2s_ref, lead).astype(jnp.int32)  # [2*gpp, bn]
-    s2z = _blk(s2z_ref, lead).astype(jnp.int32)
 
     def plane(a_start, w_plane, row0):
         acc = jnp.zeros(out_ref.shape, jnp.int32)
@@ -534,14 +540,19 @@ def _w4a8_grp_whole_kernel(a_ref, w_ref, s2s_ref, s2z_ref, gsum_ref, s1_ref,
                 a_g, q_g, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )
-            asum_g = gsum_ref[:, row0 + gi : row0 + gi + 1]  # [bm, 1] int32
             s2 = s2s[row0 + gi : row0 + gi + 1, :] & 0xFF
-            z2 = s2z[row0 + gi : row0 + gi + 1, :]
-            acc += dot_g * s2 + asum_g * z2
+            acc += dot_g * s2
         return acc
 
     acc = plane(0, lo, 0) + plane(k_half, hi, gpp)
-    out = acc.astype(jnp.float32) * _blk(s1_ref, lead) * as_ref[:]
+    # zero-point term for BOTH planes as one MXU f32 dot (exact: per-group
+    # asum*z2 products are < 2^21, far inside f32's integer range)
+    zacc = jax.lax.dot_general(
+        gsum_ref[:].astype(jnp.float32),
+        _blk(s2z_ref, lead).astype(jnp.float32),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    out = (acc.astype(jnp.float32) + zacc) * _blk(s1_ref, lead) * as_ref[:]
     out_ref[:] = out.astype(out_ref.dtype)
 
 
@@ -892,7 +903,7 @@ def w4a8_gemm_per_group_routed_pallas(
         pl.BlockSpec((bm, bn), ix_plain(lambda m, n, k: (m, n)),
                      memory_space=pltpu.VMEM),
         jax.ShapeDtypeStruct((M, N), out_dtype),
-        [pltpu.VMEM((bm, bn), jnp.int32)],
+        [pltpu.VMEM((bm, bn), jnp.int32), pltpu.VMEM((bm, bn), jnp.float32)],
         pl.CostEstimate(
             flops=2 * M * N * K,
             bytes_accessed=M * K + nb * (K * N // 2) + M * N * 2,

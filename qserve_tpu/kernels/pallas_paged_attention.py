@@ -351,7 +351,9 @@ def supports(page_size: int, head_dim: int, hdc: int = 0) -> bool:
     return head_dim % 64 == 0 and hdc % 128 == 0
 
 
-@functools.partial(jax.jit, static_argnames=("kv4", "sm_scale", "window"))
+@functools.partial(
+    jax.jit, static_argnames=("kv4", "sm_scale", "window", "ablate", "tuning")
+)
 def paged_decode_attention_pallas(
     q: jax.Array,  # [B, Hq, D] (any float dtype)
     data: jax.Array,  # [L, P, 2, ps, H*Dc] int8 (full stacked cache)
@@ -364,6 +366,8 @@ def paged_decode_attention_pallas(
     kv4: bool,
     sm_scale: float,
     window: int = 0,  # 0 = full attention; else sliding window length
+    ablate: str = "",  # dev-only in-kernel stage skip (see _paged_attn_kernel)
+    tuning: tuple = (),  # (PCHUNK, NBUF, SB) env-string overrides | ()
 ) -> jax.Array:
     B, Hq, D = q.shape
     twoH, ps = scales.shape[-2], scales.shape[-1]
@@ -406,29 +410,25 @@ def paged_decode_attention_pallas(
     # short histories favor small page chunks (less masked tail compute);
     # long histories amortize per-iteration fixed costs over more slots
     maxP = block_tables.shape[1]
-    import os as _os0
-
     # page-buffer budget ~24MB of VMEM across SB sequences x NBUF buffers x
     # PCHUNK pages (each buffered page is 2*ps*hdc bytes of K+V data).
     # Measured at B=128/ctx1280 (8B geometry, 96-page budget):
     # (SB=8, NBUF=2, PCHUNK=6) -> 5625 tok/s vs (8,3,2) 5206 / (1,3,2) 4734.
+    # tuning = (PCHUNK, NBUF, SB) env-string overrides, threaded through as a
+    # STATIC arg by the dispatch so different configs interleaved in one
+    # process compile distinct executables (None = budget-adaptive default).
+    t_pchunk, t_nbuf, t_sb = tuning if tuning else (None, None, None)
     budget_pages = max(6, (24 << 20) // (2 * ps * hdc))
-    PCHUNK = int(_os0.environ.get("QSERVE_ATTN_PCHUNK", str(min(6, maxP))))
-    NBUF = int(_os0.environ.get("QSERVE_ATTN_NBUF", "2"))
+    PCHUNK = int(t_pchunk) if t_pchunk else min(6, maxP)
+    NBUF = int(t_nbuf) if t_nbuf else 2
     # multiple sequences per grid instance when the batch allows: the later
     # sequences' warm-up page DMAs are issued before the first computes, so
     # the per-instance DMA cold-start bubble amortizes over all of them
-    import os as _os
-
     sb_fit = max(1, budget_pages // (NBUF * PCHUNK))
-    SB = int(_os.environ.get("QSERVE_ATTN_SB", str(min(8, sb_fit))))
+    SB = int(t_sb) if t_sb else min(8, sb_fit)
     while SB > 1 and (B % SB != 0 or B < 2 * SB):
         SB //= 2
     n_inst = B // SB
-    # dev-only in-kernel ablation (benchmarks/ablate_decode.py attnonly runs,
-    # one fresh process per mode — jit caches would hide later env changes):
-    # dma | nounpack | noscale | noqk | noexp | nopv | nodiag
-    ablate = _os.environ.get("QSERVE_ATTN_ABLATE", "")
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -531,4 +531,13 @@ def _paged_attn_dispatch(q, cache, block_tables, context_lens, layer_idx,
         q, cache.data, cache.scales, block_tables, context_lens,
         layer_idx, k_cur, v_cur, kv_bits == 4, sm,
         window=int(sliding_window or 0),
+        # dev-only stage-skip modes (dma/nounpack/noscale/noqk/noexp/nopv/
+        # nodiag) and tuning overrides; static args so interleaved A/B runs
+        # in one process get distinct executables (ablate_decode attnonly:..)
+        ablate=os.environ.get("QSERVE_ATTN_ABLATE", ""),
+        tuning=(
+            os.environ.get("QSERVE_ATTN_PCHUNK"),
+            os.environ.get("QSERVE_ATTN_NBUF"),
+            os.environ.get("QSERVE_ATTN_SB"),
+        ),
     )

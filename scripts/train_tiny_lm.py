@@ -63,6 +63,9 @@ def model_config(hidden=512, inter=1536, layers=8, heads=4, kv_heads=2):
 GEOMETRIES = {
     "26m": dict(hidden=512, inter=1536, layers=8, heads=4, kv_heads=2),
     "110m": dict(hidden=1024, inter=2816, layers=10, heads=8, kv_heads=2),
+    # ~400M params: one more doubling toward the 8B target; GQA 3:1 and
+    # head_dim 128 keep it on the flagship kernel path (train with --remat)
+    "400m": dict(hidden=1536, inter=4096, layers=16, heads=12, kv_heads=4),
 }
 
 
@@ -95,8 +98,12 @@ def init_params(key, cfg):
     )
 
 
-def forward(params, tokens, cfg):
-    """[B, T] int32 -> logits [B, T, V] (bf16 compute, f32 logits)."""
+def forward(params, tokens, cfg, remat: bool = False):
+    """[B, T] int32 -> logits [B, T, V] (bf16 compute, f32 logits).
+
+    remat=True rematerializes each decoder layer on the backward pass
+    (jax.checkpoint) — at the 400m geometry the stored [B, H, T, T]
+    attention probabilities alone would otherwise exceed v5e HBM."""
     B, T = tokens.shape
     E = cfg["hidden_size"]
     D = cfg["head_dim"]
@@ -122,7 +129,8 @@ def forward(params, tokens, cfg):
         return (xf * jax.lax.rsqrt(v + cfg["rms_norm_eps"]) * w).astype(jnp.bfloat16)
 
     causal = jnp.tril(jnp.ones((T, T), jnp.bool_))
-    for fl in params["layers"]:
+
+    def layer(h, fl):
         x = rms(h, fl["input_ln"])
         qkv = x @ fl["qkv"].astype(jnp.bfloat16)
         q, k, v = jnp.split(qkv, [Hq * D, (Hq + Hkv) * D], axis=-1)
@@ -139,15 +147,20 @@ def forward(params, tokens, cfg):
         x = rms(h, fl["post_ln"])
         gu = x @ fl["gate_up"].astype(jnp.bfloat16)
         g, u = jnp.split(gu, 2, axis=-1)
-        h = h + (jax.nn.silu(g.astype(jnp.float32)).astype(jnp.bfloat16) * u) @ fl[
-            "down"
-        ].astype(jnp.bfloat16)
+        return h + (
+            jax.nn.silu(g.astype(jnp.float32)).astype(jnp.bfloat16) * u
+        ) @ fl["down"].astype(jnp.bfloat16)
+
+    if remat:
+        layer = jax.checkpoint(layer)
+    for fl in params["layers"]:
+        h = layer(h, fl)
     h = rms(h, params["final_ln"])
     return (h @ params["lm_head"].astype(jnp.bfloat16)).astype(jnp.float32)
 
 
-def loss_fn(params, tokens, cfg):
-    logits = forward(params, tokens[:, :-1], cfg)
+def loss_fn(params, tokens, cfg, remat: bool = False):
+    logits = forward(params, tokens[:, :-1], cfg, remat)
     targets = tokens[:, 1:]
     lse = jax.nn.logsumexp(logits, axis=-1)
     tl = jnp.take_along_axis(logits, targets[..., None], axis=-1)[..., 0]
@@ -164,6 +177,8 @@ def main():
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--chunk", type=int, default=50, help="steps per dispatch")
     ap.add_argument("--geometry", choices=sorted(GEOMETRIES), default="26m")
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize layers on backward (400m on one v5e)")
     args = ap.parse_args()
 
     import optax
@@ -195,7 +210,9 @@ def main():
             rows = jnp.concatenate(
                 [jnp.full((B, 1), BOS, jnp.int32), rows], axis=1
             )[:, : T + 1]
-            loss, grads = jax.value_and_grad(loss_fn)(params, rows, cfg)
+            loss, grads = jax.value_and_grad(loss_fn)(
+                params, rows, cfg, args.remat
+            )
             updates, opt_state = opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, opt_state), loss

@@ -37,7 +37,7 @@ CTX = int(sys.argv[2]) if len(sys.argv) > 2 else 1280
 VARIANTS = sys.argv[3:] or [
     "realstep", "full", "noattn", "noappend", "nolmhead", "noelem", "attnonly"
 ]
-PAGE = 256
+PAGE = int(os.environ.get("QSERVE_ABL_PAGE", "256"))
 
 
 def main():

@@ -140,6 +140,9 @@ def _paged_attn_kernel(
             lo_block = jnp.int32(0)
         return b, hist, npages, nblocks, lo_block
 
+    want_data = ablate not in ("nodatadma", "nodma")
+    want_scales = ablate not in ("noscaledma", "nodma")
+
     def start_block(s, b, npages, slot, blk):
         for j in range(PCHUNK):
             p = blk * PCHUNK + j
@@ -147,16 +150,18 @@ def _paged_attn_kernel(
             @pl.when(p < npages)
             def _(j=j, p=p):
                 page = bt_ref[b, p]
-                pltpu.make_async_copy(
-                    data_ref.at[li, page],
-                    buf_d.at[s, slot, :, pl.ds(j * ps, ps), :],
-                    sems.at[s, slot, 0, j],
-                ).start()
-                pltpu.make_async_copy(
-                    scales_ref.at[li, page],
-                    buf_s.at[s, slot, :, :, pl.ds(j * ps, ps)],
-                    sems.at[s, slot, 1, j],
-                ).start()
+                if want_data:
+                    pltpu.make_async_copy(
+                        data_ref.at[li, page],
+                        buf_d.at[s, slot, :, pl.ds(j * ps, ps), :],
+                        sems.at[s, slot, 0, j],
+                    ).start()
+                if want_scales:
+                    pltpu.make_async_copy(
+                        scales_ref.at[li, page],
+                        buf_s.at[s, slot, :, :, pl.ds(j * ps, ps)],
+                        sems.at[s, slot, 1, j],
+                    ).start()
 
     def wait_block(s, b, npages, slot, blk):
         for j in range(PCHUNK):
@@ -165,16 +170,18 @@ def _paged_attn_kernel(
             @pl.when(p < npages)
             def _(j=j, p=p):
                 page = bt_ref[b, p]
-                pltpu.make_async_copy(
-                    data_ref.at[li, page],
-                    buf_d.at[s, slot, :, pl.ds(j * ps, ps), :],
-                    sems.at[s, slot, 0, j],
-                ).wait()
-                pltpu.make_async_copy(
-                    scales_ref.at[li, page],
-                    buf_s.at[s, slot, :, :, pl.ds(j * ps, ps)],
-                    sems.at[s, slot, 1, j],
-                ).wait()
+                if want_data:
+                    pltpu.make_async_copy(
+                        data_ref.at[li, page],
+                        buf_d.at[s, slot, :, pl.ds(j * ps, ps), :],
+                        sems.at[s, slot, 0, j],
+                    ).wait()
+                if want_scales:
+                    pltpu.make_async_copy(
+                        scales_ref.at[li, page],
+                        buf_s.at[s, slot, :, :, pl.ds(j * ps, ps)],
+                        sems.at[s, slot, 1, j],
+                    ).wait()
 
     # warm-up: start the first NBUF blocks of EVERY in-instance sequence up
     # front, so sequence s+1's pages are in flight while sequence s computes
@@ -212,13 +219,9 @@ def _paged_attn_kernel(
             kp = buf_d[s, slot, 0]  # [ps2, HDc] int8
             vp = buf_d[s, slot, 1]
             if ablate == "dma":
-                # DMA floor probe: wait the page DMAs, touch the buffers
-                # with one dependent op, skip all real compute
-                acc_ref[:] += (
-                    kp[:GH, :D].astype(jnp.float32)
-                    + vp[:GH, :D].astype(jnp.float32)
-                    + buf_s[s, slot, 0, 0, 0]
-                )
+                # DMA floor probe: wait the page DMAs, skip all compute (the
+                # copies are side effects, so Mosaic keeps them live)
+                acc_ref[:] += 1.0
                 @pl.when(blk + NBUF < nblocks)
                 def _():
                     start_block(s, b, npages, slot, blk + NBUF)

@@ -162,8 +162,12 @@ def _run(B):
     eff_steps = steps - n1
 
     tok_s = B * eff_steps / dt
+    gs = int(os.environ.get("QSERVE_BENCH_GROUP", "-1"))
+    flavor = precision if gs <= 0 else f"{precision}-g{gs}"
+    if int(os.environ.get("QSERVE_BENCH_LMHEAD", "16")) == 8:
+        flavor += "+lmh8"
     result = {
-        "metric": f"{_METRIC_NAMES.get(name, name)} {precision} decode "
+        "metric": f"{_METRIC_NAMES.get(name, name)} {flavor} decode "
                   f"throughput (1 chip, batch {B}, ctx {ctx})",
         "value": round(tok_s, 1),
         "unit": "tok/s",

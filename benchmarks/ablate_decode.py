@@ -56,7 +56,10 @@ def main():
         num_kv_heads=int(e("QSERVE_ABL_KVHEADS", 8)),
         head_dim=128,
         rope_theta=500000.0,
-        quant=QuantSpec.from_precision(e("QSERVE_ABL_PRECISION", "w4a8kv4")),
+        quant=QuantSpec.from_precision(
+            e("QSERVE_ABL_PRECISION", "w4a8kv4"),
+            int(e("QSERVE_ABL_GROUP", "-1")),
+        ),
     )
     maxP = -(-(CTX + 64) // PAGE)
     params = llama.random_quantized_params(jax.random.PRNGKey(0), args)

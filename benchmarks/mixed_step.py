@@ -77,28 +77,30 @@ def main():
         return pos, pos // PAGE, pos % PAGE, jnp.int32(start)
 
     def mk(kind):
-        def chunk_fn(kv, tok, d_tok, i, d_ctx):
+        def chunk_fn(p, kv, tok, d_tok, i, d_ctx):
             pos, pg, sl, start = chunk_inputs(i)
             logits, kv = llama.prefill_chunk(
-                params, kv, tok, pos, seg, pg, sl, lti, chunk_tables,
+                p, kv, tok, pos, seg, pg, sl, lti, chunk_tables,
                 start, args)
             return logits, kv
 
-        def mixed_fn(kv, tok, d_tok, i, d_ctx):
+        def mixed_fn(p, kv, tok, d_tok, i, d_ctx):
             pos, pg, sl, start = chunk_inputs(i)
             logits, kv = llama.prefill_chunk_with_decode(
-                params, kv, tok, pos, seg, pg, sl, lti, chunk_tables,
+                p, kv, tok, pos, seg, pg, sl, lti, chunk_tables,
                 start, d_tok, d_bt, d_ctx, args)
             return logits, kv
 
-        def decode_fn(kv, tok, d_tok, i, d_ctx):
-            logits, kv = llama.decode(params, kv, d_tok, d_bt, d_ctx, args)
+        def decode_fn(p, kv, tok, d_tok, i, d_ctx):
+            logits, kv = llama.decode(p, kv, d_tok, d_bt, d_ctx, args)
             return logits, kv
 
         fn = {"chunk": chunk_fn, "mixed": mixed_fn, "decode": decode_fn}[kind]
 
-        def step(kv, tok, d_tok, i, d_ctx):
-            logits, kv = fn(kv, tok, d_tok, i, d_ctx)
+        def step(p, kv, tok, d_tok, i, d_ctx):
+            # params as an ARG, not a closure capture — captured params lower
+            # as multi-GB executable constants
+            logits, kv = fn(p, kv, tok, d_tok, i, d_ctx)
             top = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             return top, kv
 
@@ -112,7 +114,7 @@ def main():
         t0 = time.time()
         for i in range(n):
             d_ctx = jnp.full((B,), CTX + i, jnp.int32)
-            top, kv = steps[kind](kv, tok, d_tok, i0 + i, d_ctx)
+            top, kv = steps[kind](params, kv, tok, d_tok, i0 + i, d_ctx)
             tok = (tok + top.sum()) % args.vocab_size
             d_tok = (d_tok + top[:B].astype(jnp.int32)) % args.vocab_size
         np.asarray(tok)

@@ -112,7 +112,9 @@ def main():
         t_long = chain(9, tok0)
         dt = (t_long - t_short) / 6
         print(f"{label:<8} ({L} layers) step = {dt*1e3:8.2f} ms "
-              f"({T/dt:,.0f} prefill tok/s)", flush=True)
+              f"({T/dt:,.0f} prefill tok/s)  "
+              f"[raw: 3-chain {t_short*1e3:.1f} ms, 9-chain {t_long*1e3:.1f} ms]",
+              flush=True)
         del kv
 
 

@@ -423,14 +423,19 @@ def _w4a8_grp_kernel(a_ref, w_ref, s2s_lo_ref, s2z_lo_ref, s2s_hi_ref,
     # the zero-point term sum_g asum[:, g] * z2[g, :] is ONE MXU f32 dot per
     # plane instead of 2 VPU passes per group (asum*z2 products are < 2^21
     # per group, so the f32 accumulation is exact at any realistic K)
+    # HIGHEST precision: the default f32 MXU path multiplies in bf16, which
+    # rounds the up-to-2^14 integer gsum values (compiled-parity failures at
+    # ~0.85e-1 abs); bf16x3 keeps the integer products exact
     zacc_ref[:] += jax.lax.dot_general(
         gsum_lo_ref[0].astype(jnp.float32),
         _blk(s2z_lo_ref, lead).astype(jnp.float32),
         (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     ) + jax.lax.dot_general(
         gsum_hi_ref[0].astype(jnp.float32),
         _blk(s2z_hi_ref, lead).astype(jnp.float32),
         (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
     @pl.when(k == nk - 1)
@@ -551,6 +556,7 @@ def _w4a8_grp_whole_kernel(a_ref, w_ref, s2s_ref, s2z_ref, gsum_ref, s1_ref,
         gsum_ref[:].astype(jnp.float32),
         _blk(s2z_ref, lead).astype(jnp.float32),
         (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,  # see _w4a8_grp_kernel note
     )
     out = (acc.astype(jnp.float32) + zacc) * _blk(s1_ref, lead) * as_ref[:]
     out_ref[:] = out.astype(out_ref.dtype)

@@ -706,13 +706,17 @@ def prefill_chunk_with_decode(
 
     The chunk's [T] tokens and the decode batch's [B] tokens run as one
     packed [T+B] stream through every GEMM — the chunk already streams the
-    full weights through the MXU, so the decode rows ride along nearly free
-    and running sequences keep generating while a long prompt admits
-    (the reference schedules prompt steps exclusively, scheduler.py:279-285,
-    stalling decodes for the whole admission). Attention splits by row span:
-    rows [:T] take the prefix-chunk kernel, rows [T:] the paged decode
-    kernel. Returns (logits [1+B, V], kv): row 0 = chunk last token (only
-    meaningful on the final chunk), rows 1: = decode rows.
+    full weights through the MXU, so the decode rows' GEMM share is ~free.
+    Measured (benchmarks/mixed_step.py, B=128/T=2048/8B): the decode batch
+    adds 19.1 ms to a 190.6 ms chunk step vs 22.7 ms standalone — decode
+    ATTENTION is its own DMA wall and cannot ride along; the win is the
+    ~3.6 ms/step of GEMM+dispatch share plus the scheduling property that
+    running sequences keep generating while a long prompt admits (the
+    reference schedules prompt steps exclusively, scheduler.py:279-285,
+    stalling decodes for the whole admission). Attention splits by row
+    span: rows [:T] take the prefix-chunk kernel, rows [T:] the paged
+    decode kernel. Returns (logits [1+B, V], kv): row 0 = chunk last token
+    (only meaningful on the final chunk), rows 1: = decode rows.
     """
     T = token_ids.shape[0]
     ps = kv.page_size

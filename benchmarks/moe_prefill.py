@@ -32,7 +32,7 @@ PAGE = 256
 def main():
     from qserve_tpu.config import QuantSpec
     from qserve_tpu.kernels import attention, kv_cache as kvc, ops
-    from qserve_tpu.models import llama
+    from qserve_tpu.models import llama, mixtral
 
     e = os.environ.get
     L = int(e("QSERVE_BENCH_LAYERS", "8"))
@@ -43,7 +43,11 @@ def main():
         rope_theta=1e6, quant=QuantSpec.from_precision("w4a8kv4", gs),
         num_experts=8, moe_top_k=2,
     )
-    params = llama.random_quantized_params(jax.random.PRNGKey(0), base)
+    # llama.random_quantized_params builds DENSE layers even when
+    # num_experts > 0 — through round 5 this benchmark measured a dense
+    # model twice (routed == dense to the microsecond, and 4x over the int8
+    # roofline under MoE FLOP accounting, which is how it was caught)
+    params = mixtral.random_quantized_params(jax.random.PRNGKey(0), base)
     jax.block_until_ready(params.layers)
 
     seq_len = T // NSEQ

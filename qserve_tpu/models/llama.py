@@ -218,6 +218,11 @@ def random_float_params(key: jax.Array, args: LlamaArgs, scale: float = 0.02):
 def random_quantized_params(key: jax.Array, args: LlamaArgs, scale: float = 0.02):
     """Random weights quantized layer-by-layer (streaming — never holds the
     full fp32 model; needed to build 8B-class models on a 16GB chip)."""
+    assert args.num_experts == 0, (
+        "MoE args need mixtral.random_quantized_params (this builder makes "
+        "DENSE layers; benchmarks/moe_prefill.py silently measured a dense "
+        "model this way through round 5)"
+    )
     E, I, V = args.hidden_size, args.intermediate_size, args.vocab_size
     wb, gs = args.quant.weight_bits, args.quant.group_size
 
@@ -256,6 +261,10 @@ def random_quantized_params(key: jax.Array, args: LlamaArgs, scale: float = 0.02
 
 def quantize_params(float_params: dict, args: LlamaArgs) -> LlamaParams:
     """Quantize float weights into the serving format per args.quant."""
+    assert args.num_experts == 0, (
+        "MoE args need mixtral.quantize_params (this builder makes DENSE "
+        "layers; a benchmark silently measured a dense model this way)"
+    )
     wb, gs = args.quant.weight_bits, args.quant.group_size
 
     def ql(w):
